@@ -1,0 +1,12 @@
+"""Pallas TPU kernels with hand-derived custom VJPs.
+
+- ``flash_attention``: tiled online-softmax attention, the TPU-native
+  equivalent of the reference's Python-tiled ``FlashAttentionFunction``
+  (reference ``utils.py:134-295``).
+- ``fused_basis``: one generic basis-expand + MXU-contract kernel
+  instantiated for all five KAN basis families, avoiding the HBM round trip
+  of materializing the basis tensor.
+
+Every kernel has a pure-JAX twin in ``kanvit.ops`` used as ground truth in
+tests; dispatch between them is ``kanvit.ops.dispatch``.
+"""

@@ -1,0 +1,407 @@
+"""Pallas TPU flash-attention: fwd + hand-derived custom VJP.
+
+TPU-native equivalent of the reference's Python-tiled
+``FlashAttentionFunction`` (reference ``utils.py:134-295``, FlashAttention-2
+Algorithms 1 & 2). The reference loops over tensor *chunks* in Python because
+it has no kernel language; here the same online-softmax tiling runs as a real
+kernel: grid ``(batch*heads, q_blocks, k_blocks)`` with the k axis innermost,
+a float32 accumulator + running (max, sum) in VMEM scratch, and the
+``q_bucket_size``/``k_bucket_size`` knobs becoming block sizes.
+
+Backward follows reference Algorithm 2 (``utils.py:229-295``): recompute
+scores per tile, ``p = exp(s - lse)``, ``ds = p * scale * (dp - delta)`` with
+``delta = rowsum(do * o)`` precomputed outside the kernel; split into a
+dq-kernel (accumulating over k blocks) and a dk/dv-kernel (accumulating over
+q blocks) since TPU has no cross-program atomics.
+
+Numerics: all tile math in float32 regardless of input dtype (inputs may be
+bf16); block row sums are clamped at ``EPSILON = 1e-10`` exactly like the
+reference (``utils.py:10,206``).
+
+Dispatch: on non-TPU backends falls back to the pure-JAX
+``flash_attention_reference`` (identical semantics, autodiff backward).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kanvit.ops import dispatch
+from kanvit.ops.attention import flash_attention_reference
+
+EPSILON = 1e-10
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc, m_scr, l_scr, *, scale,
+                tk, bq, bk, causal, qk_len_diff):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    key_valid = kpos < tk
+    s = jnp.where(key_valid, s, NEG_INF)
+    if causal:
+        i = pl.program_id(1)
+        qpos = (
+            i * bq
+            - qk_len_diff
+            + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        )
+        s = jnp.where(qpos >= kpos, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    block_max = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(block_max, m_prev)
+    p = jnp.exp(s - m_new)
+    # Parity note: only the *key-padding* mask is re-zeroed after exp —
+    # the reference re-zeroes only its col_mask (utils.py:202-203), so rows
+    # that are fully causally masked degenerate to uniform weights exactly
+    # like the reference does.
+    p = jnp.where(key_valid, p, 0.0)
+    block_sum = jnp.clip(jnp.sum(p, axis=-1, keepdims=True), EPSILON, None)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = corr * l_scr[:, :1] + block_sum
+
+    pv = jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc[:] = acc[:] * corr + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        l = jnp.clip(l_scr[:, :1], EPSILON, None)
+        o_ref[0] = (acc[:] / l).astype(o_ref.dtype)
+        m_ref[0] = m_scr[:, :1].reshape(1, -1)
+        l_ref[0] = l.reshape(1, -1)
+
+
+def _fwd_pallas(q, k, v, causal, bq, bk, scale, tk, qk_len_diff):
+    """q: (BH, TQp, Dp); k, v: (BH, TKp, Dp). Returns (o, lse)."""
+    bh, tqp, dp = q.shape
+    tkp = k.shape[1]
+    nq, nk = tqp // bq, tkp // bk
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel,
+            scale=scale,
+            tk=tk,
+            bq=bq,
+            bk=bk,
+            causal=causal,
+            qk_len_diff=qk_len_diff,
+        ),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, tqp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 1, tqp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, dp), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+            pltpu.VMEM((bq, LANE), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, dq_ref, acc,
+                   *, scale, tk, bq, bk, causal, qk_len_diff):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    m = m_ref[0, 0][:, None]
+    linv = 1.0 / l_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    key_valid = kpos < tk
+    if causal:
+        i = pl.program_id(1)
+        qpos = i * bq - qk_len_diff + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        s = jnp.where(qpos >= kpos, s, NEG_INF)
+    # p = exp(s - m) / l: splitting (m, l) instead of the reference's fused
+    # lse (utils.py:277) avoids float absorption when m is near -inf, so
+    # fully-masked rows get correctly normalized uniform weights.
+    p = jnp.where(key_valid, jnp.exp(s - m) * linv, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * scale * (dp - delta)
+    if causal:
+        # Masked scores are constants in the fwd graph, so their score-grad
+        # is exactly zero (matters only for fully-masked rows, where p is a
+        # nonzero uniform constant).
+        ds = jnp.where(qpos >= kpos, ds, 0.0)
+    acc[:] += jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nk - 1)
+    def _finish():
+        dq_ref[0] = acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale, tk, bq, bk, causal, qk_len_diff):
+    i = pl.program_id(2)  # q-block index (innermost)
+    nq = pl.num_programs(2)
+    j = pl.program_id(1)  # k-block index
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    m = m_ref[0, 0][:, None]
+    linv = 1.0 / l_ref[0, 0][:, None]
+    delta = delta_ref[0, 0][:, None]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    key_valid = kpos < tk
+    if causal:
+        qpos = i * bq - qk_len_diff + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        s = jnp.where(qpos >= kpos, s, NEG_INF)
+    p = jnp.where(key_valid, jnp.exp(s - m) * linv, 0.0)
+
+    dv_acc[:] += jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * scale * (dp - delta)
+    if causal:
+        ds = jnp.where(qpos >= kpos, ds, 0.0)
+    dk_acc[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Padding / shape plumbing + custom VJP
+# ---------------------------------------------------------------------------
+
+def _plan(tq, tk, d, q_block, k_block):
+    bq = min(_round_up(q_block, LANE), _round_up(tq, LANE))
+    bk = min(_round_up(k_block, LANE), _round_up(tk, LANE))
+    return (
+        bq,
+        bk,
+        _round_up(tq, bq),
+        _round_up(tk, bk),
+        _round_up(d, LANE),
+    )
+
+
+def _pad3(x, t_to, d_to):
+    return jnp.pad(x, ((0, 0), (0, t_to - x.shape[1]), (0, d_to - x.shape[2])))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, causal, q_block, k_block):
+    o, _, _, _ = _flash_fwd_impl(q, k, v, causal, q_block, k_block)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, causal, q_block, k_block):
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq, bk, tqp, tkp, dp = _plan(tq, tk, d, q_block, k_block)
+
+    qf = _pad3(q.reshape(b * h, tq, d), tqp, dp)
+    kf = _pad3(k.reshape(b * h, tk, d), tkp, dp)
+    vf = _pad3(v.reshape(b * h, tk, d), tkp, dp)
+
+    o, m, l = _fwd_pallas(
+        qf, kf, vf, causal, bq, bk, d**-0.5, tk, max(tk - tq, 0)
+    )
+    o = o[:, :tq, :d].reshape(b, h, tq, d)
+    m = m[:, 0, :tq].reshape(b, h, tq)
+    l = l[:, 0, :tq].reshape(b, h, tq)
+    lse = jnp.log(l) + m
+    return o, lse, m, l
+
+
+def _flash_fwd(q, k, v, causal, q_block, k_block):
+    o, _, m, l = _flash_fwd_impl(q, k, v, causal, q_block, k_block)
+    return o, (q, k, v, o, m, l)
+
+
+def _flash_bwd(causal, q_block, k_block, res, do):
+    q, k, v, o, m, l = res
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq, bk, tqp, tkp, dp = _plan(tq, tk, d, q_block, k_block)
+    nq, nk = tqp // bq, tkp // bk
+    scale = d**-0.5
+    qk_len_diff = max(tk - tq, 0)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    qf = _pad3(q.reshape(b * h, tq, d), tqp, dp)
+    kf = _pad3(k.reshape(b * h, tk, d), tkp, dp)
+    vf = _pad3(v.reshape(b * h, tk, d), tkp, dp)
+    dof = _pad3(do.reshape(b * h, tq, d), tqp, dp)
+    # Padded q rows: m=0, l=1 -> p = exp(s)/1 (finite), and do=0 there, so
+    # they contribute nothing (and never produce inf * 0 = NaN).
+    mf = jnp.pad(m.reshape(b * h, 1, tq), ((0, 0), (0, 0), (0, tqp - tq)))
+    lf = jnp.pad(
+        l.reshape(b * h, 1, tq),
+        ((0, 0), (0, 0), (0, tqp - tq)),
+        constant_values=1.0,
+    )
+    deltaf = jnp.pad(delta.reshape(b * h, 1, tq), ((0, 0), (0, 0), (0, tqp - tq)))
+
+    bh = b * h
+    kw = dict(scale=scale, tk=tk, bq=bq, bk=bk, causal=causal, qk_len_diff=qk_len_diff)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **kw),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, tqp, dp), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, dof, mf, lf, deltaf)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **kw),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, dp), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tkp, dp), k.dtype),
+            jax.ShapeDtypeStruct((bh, tkp, dp), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, dp), jnp.float32),
+            pltpu.VMEM((bk, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+    )(qf, kf, vf, dof, mf, lf, deltaf)
+
+    dq = dq[:, :tq, :d].reshape(b, h, tq, d)
+    dk = dk[:, :tk, :d].reshape(b, h, tk, d)
+    dv = dv[:, :tk, :d].reshape(b, h, tk, d)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = False,
+    q_block: int = 512,
+    k_block: int = 1024,
+) -> jnp.ndarray:
+    """Flash attention over ``(B, H, T, D)`` tensors.
+
+    Pallas kernel on TPU; pure-JAX blocked reference elsewhere (identical
+    online-softmax math, autodiff backward). ``q_block``/``k_block`` mirror
+    the reference's ``q_bucket_size``/``k_bucket_size`` knobs
+    (reference ``attention.py:21-22``).
+    """
+    if dispatch.use_pallas():
+        return _flash(q, k, v, causal, q_block, k_block)
+    return flash_attention_reference(q, k, v, causal, q_block, k_block)[0]

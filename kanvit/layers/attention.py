@@ -1,0 +1,148 @@
+"""Multi-head self-attention with per-head KAN projections + flash-attention block.
+
+``MSA`` reproduces the reference's semantics (``attention.py:112-202``):
+the model dim is split into ``n_heads`` slices, each head gets its own
+``d_head -> d_head`` q/k/v projection (Linear or a KAN layer depending on
+variant), attention is ``softmax(q k^T / sqrt(d_head)) v`` per head, and the
+heads are concatenated back — with **no output projection and no dropout**
+(SURVEY §2.9.4). The reference computes this with a per-sample, per-head
+Python double loop; here the per-head projections are a single ``nn.vmap``
+over a stacked ``(n_heads, ...)`` parameter axis and the attention is one
+batched einsum — the same math as one MXU-friendly launch.
+
+Variant dispatch parity (reference ``attention.py:136-170``): ``vanilla``,
+``flash-attn`` and ``fourier`` use Linear projections (the fourier variant
+KAN-ifies only the patch embedding), ``sine`` uses grid_size=4 in attention,
+``cheby`` uses degree 4.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from kanvit.layers.kan import (
+    ChebyKANLayer,
+    FastKANLayer,
+    KANLinear,
+    SineKANLayer,
+    TorchLinear,
+)
+from kanvit.ops.attention import multi_head_attention
+
+
+def _head_projection_cls_and_kwargs(kind: str, d_head: int):
+    """Reference MSA dispatch table -> (module class, ctor kwargs)."""
+    if kind in ("vanilla", "flash-attn", "fourier", "linear"):
+        return TorchLinear, dict(in_features=d_head, out_features=d_head)
+    if kind == "efficientkan":
+        return KANLinear, dict(in_features=d_head, out_features=d_head)
+    if kind == "fast":
+        return FastKANLayer, dict(input_dim=d_head, output_dim=d_head)
+    if kind == "sine":
+        # grid_size=4 in attention (reference attention.py:159)
+        return SineKANLayer, dict(input_dim=d_head, output_dim=d_head, grid_size=4)
+    if kind == "cheby":
+        return ChebyKANLayer, dict(input_dim=d_head, output_dim=d_head, degree=4)
+    # The reference swallows this error and fails later (SURVEY §2.9.6);
+    # kanvit fails loudly at construction.
+    raise ValueError(f"{kind} invalid. Please use a different argument.")
+
+
+class MSA(nn.Module):
+    """Multi-head self-attention with per-head variant projections."""
+
+    d: int
+    n_heads: int = 4
+    type: str = "vanilla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.d % self.n_heads:
+            raise ValueError(f"d={self.d} not divisible by n_heads={self.n_heads}")
+        d_head = self.d // self.n_heads
+        cls, kwargs = _head_projection_cls_and_kwargs(self.type, d_head)
+
+        # Stack the per-head modules along a leading axis: params get shape
+        # (n_heads, ...) and the projection applies per head in one vmap.
+        def vmapped(name):
+            V = nn.vmap(
+                cls,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                axis_size=self.n_heads,
+            )
+            return V(**kwargs, name=name)
+
+        b, t, _ = x.shape
+        # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh]
+        xh = jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
+
+        q = vmapped("q_mappings")(xh)
+        k = vmapped("k_mappings")(xh)
+        v = vmapped("v_mappings")(xh)
+
+        # (H, B, T, dh) -> (B, H, T, dh)
+        q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+        out = multi_head_attention(q, k, v)  # (B, H, T, dh)
+        # concat heads in order == reshape back
+        return jnp.moveaxis(out, 1, 2).reshape(b, t, self.d)
+
+
+class FlashAttentionBlock(nn.Module):
+    """Flash-attention module (reference ``attention.py:13-109``).
+
+    Projections ``to_q (dim -> h*dh)``, ``to_kv (dim -> 2*h*dh)``,
+    ``to_out (h*dh -> dim)``, all bias-free; default ``dim_head=64``,
+    bucket sizes 512/1024 become the Pallas kernel's block sizes. In the
+    ``flash-attn`` ViT variant these blocks are applied raw — no LayerNorm,
+    feed-forward, or residual (reference ``model.py:93-95,156-159``,
+    SURVEY §2.9.5).
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    causal: bool = False
+    q_bucket_size: int = 512
+    k_bucket_size: int = 1024
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        q_bucket_size: Optional[int] = None,
+        k_bucket_size: Optional[int] = None,
+    ) -> jnp.ndarray:
+        from kanvit.kernels.flash_attention import flash_attention
+
+        qb = q_bucket_size or self.q_bucket_size
+        kb = k_bucket_size or self.k_bucket_size
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+
+        q = TorchLinear(self.dim, inner, use_bias=False, name="to_q")(x)
+        kv = TorchLinear(self.dim, inner * 2, use_bias=False, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        b, t, _ = q.shape
+        tk = k.shape[1]
+
+        def to_heads(a, tt):
+            return a.reshape(b, tt, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        out = flash_attention(
+            to_heads(q, t),
+            to_heads(k, tk),
+            to_heads(v, tk),
+            causal=self.causal,
+            q_block=qb,
+            k_block=kb,
+        )  # (B, H, T, dh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+        return TorchLinear(inner, self.dim, use_bias=False, name="to_out")(out)

@@ -1,0 +1,374 @@
+"""flax.linen KAN layers — five basis families + a torch-convention Linear.
+
+Each layer is a thin parameter container over the pure functions in
+``kanvit.ops.kan_bases`` (or the fused Pallas kernels in
+``kanvit.kernels.fused_basis`` when dispatch selects them). Parameter shapes
+and init distributions match the PyTorch reference 1:1 so reference
+checkpoints load directly (``kanvit.utils.torch_compat``).
+
+All layers map ``(..., in_features) -> (..., out_features)`` preserving
+leading dims (the reference's ChebyKANLayer does not — documented repair of
+SURVEY §2.9.1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from kanvit.ops import kan_bases as K
+from kanvit.ops import dispatch
+from kanvit.utils import torch_init as tinit
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch conventions: weight ``(out, in)``,
+    kaiming-uniform(a=sqrt(5)) weight init, U(+-1/sqrt(fan_in)) bias init.
+    Equivalent of the reference's ``nn.Linear`` usages."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            tinit.linear_default_weight(),
+            (self.out_features, self.in_features),
+        )
+        y = x @ w.T
+        if self.use_bias:
+            b = self.param(
+                "bias", tinit.linear_default_bias(self.in_features), (self.out_features,)
+            )
+            y = y + b
+        return y
+
+
+class KANLinear(nn.Module):
+    """efficient-kan B-spline KAN layer (reference ``models/effkan.py:8-97``).
+
+    Params: ``base_weight (out, in)``, ``spline_weight (out, in, G+k)``,
+    ``spline_scaler (out, in)`` (when standalone scaling is enabled).
+    The knot grid is a deterministic constant (the reference's ``update_grid``
+    is never called; the functional equivalent lives at
+    ``kanvit.ops.kan_bases.bspline_update_grid`` for callers who thread grids
+    through their own state).
+    """
+
+    in_features: int
+    out_features: int
+    grid_size: int = 5
+    spline_order: int = 3
+    scale_noise: float = 0.1
+    scale_base: float = 1.0
+    scale_spline: float = 1.0
+    enable_standalone_scale_spline: bool = True
+    grid_range: tuple = (-1.0, 1.0)
+
+    def setup(self):
+        self.grid = K.make_bspline_grid(
+            self.in_features, self.grid_size, self.spline_order, self.grid_range
+        )
+        self.base_weight = self.param(
+            "base_weight",
+            tinit.kaiming_uniform(math.sqrt(5.0) * self.scale_base),
+            (self.out_features, self.in_features),
+        )
+
+        def spline_init(key, shape, dtype=jnp.float32):
+            # Fit spline coeffs to noise by lstsq (reference effkan.py:77-93).
+            noise = (
+                (
+                    jax.random.uniform(
+                        key,
+                        (self.grid_size + 1, self.in_features, self.out_features),
+                        dtype,
+                    )
+                    - 0.5
+                )
+                * self.scale_noise
+                / self.grid_size
+            )
+            pts = self.grid.T[self.spline_order : -self.spline_order]
+            coeff = K.bspline_curve2coeff(pts, noise, self.grid, self.spline_order)
+            scale = 1.0 if self.enable_standalone_scale_spline else self.scale_spline
+            return scale * coeff
+
+        self.spline_weight = self.param(
+            "spline_weight",
+            spline_init,
+            (self.out_features, self.in_features, self.grid_size + self.spline_order),
+        )
+        if self.enable_standalone_scale_spline:
+            self.spline_scaler = self.param(
+                "spline_scaler",
+                tinit.kaiming_uniform(math.sqrt(5.0) * self.scale_spline),
+                (self.out_features, self.in_features),
+            )
+        else:
+            self.spline_scaler = None
+
+    def __call__(self, x):
+        if dispatch.use_pallas():
+            from kanvit.kernels import fused_basis
+
+            return fused_basis.bspline_kan(
+                x,
+                self.grid,
+                self.base_weight,
+                self.spline_weight,
+                self.spline_scaler,
+                self.spline_order,
+            )
+        return K.bspline_kan_forward(
+            x,
+            self.grid,
+            self.base_weight,
+            self.spline_weight,
+            self.spline_scaler,
+            self.spline_order,
+        )
+
+    def regularization_loss(self, regularize_activation=1.0, regularize_entropy=1.0):
+        return K.bspline_regularization_loss(
+            self.spline_weight, regularize_activation, regularize_entropy
+        )
+
+
+class FastKANLayer(nn.Module):
+    """fast-kan RBF KAN layer (reference ``models/fastkan.py:33-76``).
+
+    LayerNorm lives *inside* the layer (fast-kan signature). Params:
+    ``ln_weight/ln_bias (in,)``, ``spline_weight (out, in*num_grids)``
+    trunc-normal(0.1), optional base branch ``base_weight/base_bias``.
+    """
+
+    input_dim: int
+    output_dim: int
+    grid_min: float = -2.0
+    grid_max: float = 2.0
+    num_grids: int = 8
+    use_base_update: bool = True
+    spline_weight_init_scale: float = 0.1
+
+    def setup(self):
+        self.rbf_grid = jnp.linspace(self.grid_min, self.grid_max, self.num_grids)
+        self.denominator = (self.grid_max - self.grid_min) / (self.num_grids - 1)
+        self.ln_weight = self.param("ln_weight", nn.initializers.ones, (self.input_dim,))
+        self.ln_bias = self.param("ln_bias", nn.initializers.zeros, (self.input_dim,))
+        self.spline_weight = self.param(
+            "spline_weight",
+            tinit.trunc_normal(self.spline_weight_init_scale),
+            (self.output_dim, self.input_dim * self.num_grids),
+        )
+        if self.use_base_update:
+            self.base_weight = self.param(
+                "base_weight",
+                tinit.linear_default_weight(),
+                (self.output_dim, self.input_dim),
+            )
+            self.base_bias = self.param(
+                "base_bias", tinit.linear_default_bias(self.input_dim), (self.output_dim,)
+            )
+        else:
+            self.base_weight = None
+            self.base_bias = None
+
+    def __call__(self, x):
+        if dispatch.use_pallas():
+            from kanvit.kernels import fused_basis
+
+            return fused_basis.fastkan(
+                x,
+                self.ln_weight,
+                self.ln_bias,
+                self.rbf_grid,
+                self.denominator,
+                self.spline_weight,
+                self.base_weight,
+                self.base_bias,
+            )
+        return K.fastkan_forward(
+            x,
+            self.ln_weight,
+            self.ln_bias,
+            self.rbf_grid,
+            self.denominator,
+            self.spline_weight,
+            self.base_weight,
+            self.base_bias,
+        )
+
+
+class SineKANLayer(nn.Module):
+    """SineKAN layer (reference ``models/sinekan.py:26-91``).
+
+    Params: ``amplitudes (out, in, grid)`` (init divided by out_dim and the
+    per-harmonic grid-norm factor, broadcast exactly as the reference —
+    SURVEY §2.7), trainable ``freq (grid,)``, bias ``(out,)`` init
+    ``1/out_dim``. The damped ``phase (in, grid)`` table is a deterministic
+    constant (reference registers it as a buffer, ``sinekan.py:75``).
+    """
+
+    input_dim: int
+    output_dim: int
+    grid_size: int = 5
+    is_first: bool = False
+    add_bias: bool = True
+    norm_freq: bool = True
+
+    def setup(self):
+        self.phase = K.sinekan_phase_init(self.input_dim, self.grid_size)
+        grid_norm = jnp.arange(1, self.grid_size + 1, dtype=jnp.float32)
+
+        def amp_init(key, shape, dtype=jnp.float32):
+            if self.is_first:
+                base = jax.random.normal(key, shape, dtype) * 0.4
+            else:
+                base = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
+            return base / self.output_dim / grid_norm
+
+        self.amplitudes = self.param(
+            "amplitudes", amp_init, (self.output_dim, self.input_dim, self.grid_size)
+        )
+
+        def freq_init(key, shape, dtype=jnp.float32):
+            f = jnp.arange(1, self.grid_size + 1, dtype=dtype)
+            if self.norm_freq:
+                f = f / (self.grid_size + 1) ** (1 - int(self.is_first))
+            return f
+
+        self.freq = self.param("freq", freq_init, (self.grid_size,))
+        if self.add_bias:
+            self.bias = self.param(
+                "bias",
+                lambda key, shape, dtype=jnp.float32: jnp.ones(shape, dtype)
+                / self.output_dim,
+                (self.output_dim,),
+            )
+        else:
+            self.bias = None
+
+    def __call__(self, x):
+        if dispatch.use_pallas():
+            from kanvit.kernels import fused_basis
+
+            return fused_basis.sinekan(
+                x, self.freq, self.phase, self.amplitudes, self.bias
+            )
+        return K.sinekan_forward(x, self.freq, self.phase, self.amplitudes, self.bias)
+
+
+class FourierKANLayer(nn.Module):
+    """NaiveFourierKAN layer (reference ``models/nfkan.py:5-52``).
+
+    Params: ``fouriercoeffs (2, out, in, grid)`` init
+    ``randn / (sqrt(in) * norm)`` with ``norm = sqrt(grid)`` (or the
+    per-harmonic ``(arange+1)**2`` under smooth init), bias ``(out,)`` zeros.
+
+    The reference ViT passes ``grid_size=`` while the layer spells it
+    ``gridsize`` and crashes (SURVEY §2.9.2); kanvit uses ``grid_size``
+    everywhere so the ``fourier`` variant actually constructs.
+    """
+
+    input_dim: int
+    output_dim: int
+    grid_size: int
+    add_bias: bool = True
+    smooth_initialization: bool = False
+
+    def setup(self):
+        def coeff_init(key, shape, dtype=jnp.float32):
+            if self.smooth_initialization:
+                norm = (jnp.arange(self.grid_size, dtype=dtype) + 1) ** 2
+            else:
+                norm = math.sqrt(self.grid_size)
+            return jax.random.normal(key, shape, dtype) / (
+                math.sqrt(self.input_dim) * norm
+            )
+
+        self.fouriercoeffs = self.param(
+            "fouriercoeffs",
+            coeff_init,
+            (2, self.output_dim, self.input_dim, self.grid_size),
+        )
+        self.bias = (
+            self.param("bias", nn.initializers.zeros, (self.output_dim,))
+            if self.add_bias
+            else None
+        )
+
+    def __call__(self, x):
+        if dispatch.use_pallas():
+            from kanvit.kernels import fused_basis
+
+            return fused_basis.fourierkan(x, self.fouriercoeffs, self.bias)
+        return K.fourierkan_forward(x, self.fouriercoeffs, self.bias)
+
+
+class ChebyKANLayer(nn.Module):
+    """ChebyKAN layer (reference ``models/cheby.py:10-48``).
+
+    Params: ``cheby_coeffs (in, out, degree+1)``, normal
+    std ``1/(in*(degree+1))``. Output preserves leading dims (repair of
+    SURVEY §2.9.1 — the reference collapses them and crashes the ViT).
+    """
+
+    input_dim: int
+    output_dim: int
+    degree: int
+
+    def setup(self):
+        std = 1.0 / (self.input_dim * (self.degree + 1))
+        self.cheby_coeffs = self.param(
+            "cheby_coeffs",
+            lambda key, shape, dtype=jnp.float32: jax.random.normal(key, shape, dtype)
+            * std,
+            (self.input_dim, self.output_dim, self.degree + 1),
+        )
+
+    def __call__(self, x):
+        if dispatch.use_pallas():
+            from kanvit.kernels import fused_basis
+
+            return fused_basis.chebykan(x, self.cheby_coeffs)
+        return K.chebykan_forward(x, self.cheby_coeffs)
+
+
+def make_kan_layer(
+    kind: str,
+    in_features: int,
+    out_features: int,
+    *,
+    sine_grid_size: int = 5,
+    fourier_grid_size: int = 5,
+    cheby_degree: int = 4,
+    name: Optional[str] = None,
+) -> nn.Module:
+    """Variant-keyed layer factory used by both the patch embedder and MSA.
+
+    Mirrors the reference dispatch tables (``model.py:67-80`` and
+    ``attention.py:135-173``); grid sizes / degree are call-site constants
+    there, parameters here.
+    """
+    if kind in ("vanilla", "flash-attn", "linear"):
+        return TorchLinear(in_features, out_features, name=name)
+    if kind == "efficientkan":
+        return KANLinear(in_features, out_features, name=name)
+    if kind == "fast":
+        return FastKANLayer(in_features, out_features, name=name)
+    if kind == "sine":
+        return SineKANLayer(in_features, out_features, grid_size=sine_grid_size, name=name)
+    if kind == "fourier":
+        return FourierKANLayer(
+            in_features, out_features, grid_size=fourier_grid_size, name=name
+        )
+    if kind == "cheby":
+        return ChebyKANLayer(in_features, out_features, cheby_degree, name=name)
+    raise ValueError(f"Unknown KAN layer kind: {kind!r}")

@@ -1,0 +1,40 @@
+"""Implementation dispatch: pure-JAX (``jnp``) vs Pallas TPU kernels.
+
+Every hot op in kanvit has two implementations with identical semantics:
+the pure-JAX ground truth in ``kanvit.ops`` and a fused Pallas kernel in
+``kanvit.kernels``. Selection:
+
+- ``"auto"`` (default): Pallas when the default JAX backend is TPU, else jnp.
+- ``"jnp"`` / ``"pallas"``: force one side (tests force both and compare).
+- env var ``KANVIT_IMPL`` overrides the initial default.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_VALID = ("auto", "jnp", "pallas")
+_impl = os.environ.get("KANVIT_IMPL", "auto")
+if _impl not in _VALID:
+    raise ValueError(f"KANVIT_IMPL must be one of {_VALID}, got {_impl!r}")
+
+
+def set_impl(impl: str) -> None:
+    global _impl
+    if impl not in _VALID:
+        raise ValueError(f"impl must be one of {_VALID}, got {impl!r}")
+    _impl = impl
+
+
+def get_impl() -> str:
+    return _impl
+
+
+def use_pallas() -> bool:
+    if _impl == "pallas":
+        return True
+    if _impl == "jnp":
+        return False
+    return jax.default_backend() == "tpu"

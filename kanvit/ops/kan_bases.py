@@ -99,6 +99,85 @@ def bspline_kan_forward(
     return (base + spline).reshape(*lead, out_features)
 
 
+def bspline_curve2coeff(
+    x: jnp.ndarray, y: jnp.ndarray, grid: jnp.ndarray, spline_order: int = 3
+) -> jnp.ndarray:
+    """Least-squares fit of spline coefficients to points.
+
+    ``x``: ``(batch, in)``; ``y``: ``(batch, in, out)``. Returns
+    ``(out, in, grid_size + order)``. Per-input-feature lstsq exactly as
+    reference ``effkan.py:134-164`` (used for init and grid refits); here the
+    per-feature solves are a single vmapped batched lstsq.
+    """
+    bases = bspline_bases(x, grid, spline_order)  # (batch, in, K)
+    a = bases.transpose(1, 0, 2)  # (in, batch, K)
+    b = y.transpose(1, 0, 2)  # (in, batch, out)
+    sol = jax.vmap(lambda ai, bi: jnp.linalg.lstsq(ai, bi)[0])(a, b)  # (in, K, out)
+    return sol.transpose(2, 0, 1)
+
+
+def bspline_update_grid(
+    x: jnp.ndarray,
+    grid: jnp.ndarray,
+    spline_weight: jnp.ndarray,
+    spline_scaler: jnp.ndarray | None,
+    grid_size: int,
+    spline_order: int = 3,
+    grid_eps: float = 0.02,
+    margin: float = 0.01,
+):
+    """Adaptive grid refit — functional equivalent of ``effkan.py:189-242``.
+
+    The reference defines this but never calls it (SURVEY §2.9.8); it is kept
+    as a first-class capability. Returns ``(new_grid, new_spline_weight)``;
+    callers thread them through their train state explicitly (JAX has no
+    in-place buffers).
+    """
+    batch = x.shape[0]
+    scaled = (
+        spline_weight * spline_scaler[..., None]
+        if spline_scaler is not None
+        else spline_weight
+    )
+    splines = bspline_bases(x, grid, spline_order).transpose(1, 0, 2)  # (in, B, K)
+    coeff = scaled.transpose(1, 2, 0)  # (in, K, out)
+    unreduced = jnp.einsum("ibk,iko->bio", splines, coeff)  # (B, in, out)
+
+    x_sorted = jnp.sort(x, axis=0)
+    idx = jnp.linspace(0, batch - 1, grid_size + 1).astype(jnp.int32)
+    grid_adaptive = x_sorted[idx]
+    uniform_step = (x_sorted[-1] - x_sorted[0] + 2 * margin) / grid_size
+    grid_uniform = (
+        jnp.arange(grid_size + 1, dtype=x.dtype)[:, None] * uniform_step
+        + x_sorted[0]
+        - margin
+    )
+    new_grid = grid_eps * grid_uniform + (1 - grid_eps) * grid_adaptive
+    new_grid = jnp.concatenate(
+        [
+            new_grid[:1] - uniform_step * jnp.arange(spline_order, 0, -1)[:, None],
+            new_grid,
+            new_grid[-1:] + uniform_step * jnp.arange(1, spline_order + 1)[:, None],
+        ],
+        axis=0,
+    ).T  # (in, grid_size + 2*order + 1)
+    new_weight = bspline_curve2coeff(x, unreduced, new_grid, spline_order)
+    return new_grid, new_weight
+
+
+def bspline_regularization_loss(
+    spline_weight: jnp.ndarray,
+    regularize_activation: float = 1.0,
+    regularize_entropy: float = 1.0,
+) -> jnp.ndarray:
+    """L1 + entropy regularizer over spline weights (``effkan.py:244-264``)."""
+    l1_fake = jnp.mean(jnp.abs(spline_weight), axis=-1)
+    reg_act = jnp.sum(l1_fake)
+    p = l1_fake / reg_act
+    reg_ent = -jnp.sum(p * jnp.log(p))
+    return regularize_activation * reg_act + regularize_entropy * reg_ent
+
+
 # ---------------------------------------------------------------------------
 # Gaussian RBF (fast-kan)
 # ---------------------------------------------------------------------------
