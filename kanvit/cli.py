@@ -1,0 +1,73 @@
+"""CLI mirroring the reference trainer's argparse surface.
+
+Reference flags and defaults (``train.py:86-97``) are preserved verbatim;
+kanvit adds dataset selection (resolving the README-vs-code MNIST/CIFAR
+mismatch, SURVEY §2.9.3), seeding, bf16, checkpoint/resume, tensor-parallel
+shard count, and profiling — capabilities the reference lacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from kanvit.train.loop import TrainConfig, run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Benchmark KAN Vision Transformers (TPU-native)"
+    )
+    # Reference surface (train.py:86-97), same names and defaults.
+    p.add_argument("--epochs", type=int, default=20, help="number of epochs to train")
+    p.add_argument("--batch-size", type=int, default=128, help="batch size for training")
+    p.add_argument("--learning-rate", type=float, default=0.001, help="learning rate for optimizer")
+    p.add_argument("--model-type", type=str, default="vanilla",
+                   help="variant: vanilla|efficientkan|fast|sine|fourier|cheby|flash-attn")
+    p.add_argument("--n-blocks", type=int, default=8, help="number of transformer blocks")
+    p.add_argument("--d-hidden", type=int, default=64, help="hidden dimension of transformer block")
+    p.add_argument("--n-heads", type=int, default=8, help="number of attention heads")
+    p.add_argument("--log-dir", type=str, default="logs", help="directory to store logs")
+    # kanvit extensions
+    p.add_argument("--dataset", type=str, default="cifar100",
+                   choices=("mnist", "cifar100", "synthetic"))
+    p.add_argument("--data-dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute policy")
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n-model-shards", type=int, default=1,
+                   help="tensor-parallel shards (devices split as data x model)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="write a jax.profiler trace of the test pass here")
+    p.add_argument("--limit-train-batches", type=int, default=None)
+    p.add_argument("--limit-eval-batches", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        learning_rate=args.learning_rate,
+        model_type=args.model_type,
+        n_blocks=args.n_blocks,
+        d_hidden=args.d_hidden,
+        n_heads=args.n_heads,
+        log_dir=args.log_dir,
+        dataset=args.dataset,
+        data_dir=args.data_dir,
+        seed=args.seed,
+        bf16=args.bf16,
+        ckpt_dir=args.ckpt_dir,
+        resume=args.resume,
+        n_model_shards=args.n_model_shards,
+        profile_dir=args.profile_dir,
+        limit_train_batches=args.limit_train_batches,
+        limit_eval_batches=args.limit_eval_batches,
+    )
+    return run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,7 @@ def _fwd_pallas(q, k, v, causal, bq, bk, scale, tk, qk_len_diff):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=dispatch.interpret_mode(),
     )(q, k, v)
 
 
@@ -347,6 +348,7 @@ def _flash_bwd(causal, q_block, k_block, res, do):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=dispatch.interpret_mode(),
     )(qf, kf, vf, dof, mf, lf, deltaf)
 
     dk, dv = pl.pallas_call(
@@ -376,6 +378,7 @@ def _flash_bwd(causal, q_block, k_block, res, do):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=dispatch.interpret_mode(),
     )(qf, kf, vf, dof, mf, lf, deltaf)
 
     dq = dq[:, :tq, :d].reshape(b, h, tq, d)

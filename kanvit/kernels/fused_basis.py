@@ -1,0 +1,528 @@
+"""Fused KAN basis-expansion + contraction Pallas kernels.
+
+Every KAN variant computes ``y[n,o] = sum_{i,g} basis_g(x)[n,i] * W[g,i,o]``
+(SURVEY §3.4): a VPU-friendly elementwise basis expansion contracted against
+a weight tensor. Left to XLA, the ``(N, in*grid)`` basis tensor round-trips
+through HBM (with ``in*grid`` up to ~10k for the patch embedders it is the
+reference's memory hot spot — e.g. ``models/nfkan.py:44-48`` materializes an
+implicit ``(N, out, in, grid)`` product). These kernels compute each
+harmonic/knot slice ``basis_g(x) (bn, in)`` in VMEM and immediately feed the
+MXU with ``basis_g @ W[g]`` — one HBM pass over ``x`` and ``y``, the basis
+never touches HBM. The per-``g`` loop is a static unroll (grid sizes are
+4–56), so Mosaic sees straight-line VPU->MXU code and never needs the
+minor-dim reshapes it cannot lower.
+
+One kernel template serves all five families; each family contributes a
+``Family`` with ``setup(x, extras) -> ctx`` plus per-g ``basis(ctx, gi)`` and
+``basis_grad(ctx, gi)`` built from the closed-form derivatives in
+``kanvit.ops.kan_bases`` (verified against ``jax.jvp``). The hand-derived
+VJP:
+
+  dW[g] = basis_g(x)^T @ gout        (recompute basis in the bwd kernel)
+  dx   += (gout @ W[g]^T) * dbasis_g/dx
+  (sine only) dfreq — small reduction, fused by XLA outside the kernel
+  (freq is trainable in the reference, sinekan.py:65-70)
+
+Weight layout inside the kernels is ``(ng, in, out)``; layer-facing wrappers
+transpose from the reference's parameter layouts (cheap, differentiable).
+
+Dispatch policy: the kernel engages on TPU when the problem is big enough to
+benefit — the per-head KAN projections in MSA are tiny (``d_head``-sized)
+and stay on the fused-by-XLA jnp path; the patch embedders and any
+production-scale KAN layers hit the kernel. Forcing
+``dispatch.set_impl('pallas')`` bypasses the thresholds (used by tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kanvit.ops import dispatch
+from kanvit.ops import kan_bases as K
+
+# Engage the kernel only when fusing actually saves HBM traffic.
+_MIN_ROWS = 512
+_MIN_FEATURES = 512
+_ROW_BLOCK = 256
+
+
+def _should_fuse(n: int, f: int) -> bool:
+    if dispatch.get_impl() == "pallas":
+        return True
+    if not dispatch.use_pallas():
+        return False
+    return n >= _MIN_ROWS and f >= _MIN_FEATURES
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Families: per-g basis slices over (bn, in) tiles
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Family:
+    """setup(x, *extras) -> ctx; basis(ctx, gi) -> (bn, in);
+    basis_grad(ctx, gi) -> ((bn, in), (bn, in))."""
+
+    ng: int
+    setup: Callable
+    basis: Callable
+    basis_grad: Callable
+
+
+def fourier_family(grid_size: int) -> Family:
+    # Layout matches kan_bases.fourier_bases: cos(1x..Gx) then sin(1x..Gx).
+    def setup(x):
+        return {"x": x}
+
+    def basis(ctx, gi):
+        if gi < grid_size:
+            return jnp.cos((gi + 1) * ctx["x"])
+        return jnp.sin((gi - grid_size + 1) * ctx["x"])
+
+    def basis_grad(ctx, gi):
+        x = ctx["x"]
+        if gi < grid_size:
+            k = gi + 1
+            return jnp.cos(k * x), -k * jnp.sin(k * x)
+        k = gi - grid_size + 1
+        return jnp.sin(k * x), k * jnp.cos(k * x)
+
+    return Family(2 * grid_size, setup, basis, basis_grad)
+
+
+def cheby_family(degree: int) -> Family:
+    def setup(x):
+        t = jnp.tanh(x)
+        return {
+            "theta": jnp.arccos(t),
+            "sq": jnp.sqrt(jnp.clip(1.0 - t * t, 0.0, None)),
+        }
+
+    def basis(ctx, gi):
+        return jnp.cos(gi * ctx["theta"])
+
+    def basis_grad(ctx, gi):
+        # d/dx cos(n acos(tanh x)) = n sin(n acos t) sqrt(1 - t^2)
+        return jnp.cos(gi * ctx["theta"]), gi * jnp.sin(gi * ctx["theta"]) * ctx["sq"]
+
+    return Family(degree + 1, setup, basis, basis_grad)
+
+
+def sine_family(grid_size: int) -> Family:
+    # extras: freq (1, ng) in SMEM (scalar reads), phase (ng, in) in VMEM.
+    def setup(x, freq_ref, phase_ref):
+        return {"x": x, "freq": freq_ref, "phase": phase_ref}
+
+    def _arg(ctx, gi):
+        return ctx["x"] * ctx["freq"][0, gi] + ctx["phase"][gi, :]
+
+    def basis(ctx, gi):
+        return jnp.sin(_arg(ctx, gi))
+
+    def basis_grad(ctx, gi):
+        a = _arg(ctx, gi)
+        return jnp.sin(a), ctx["freq"][0, gi] * jnp.cos(a)
+
+    return Family(grid_size, setup, basis, basis_grad)
+
+
+def rbf_family(num_grids: int, denominator: float) -> Family:
+    # extras: grid (1, ng) in SMEM.
+    def setup(x, grid_ref):
+        return {"x": x, "grid": grid_ref}
+
+    def _u(ctx, gi):
+        return (ctx["x"] - ctx["grid"][0, gi]) / denominator
+
+    def basis(ctx, gi):
+        return jnp.exp(-_u(ctx, gi) ** 2)
+
+    def basis_grad(ctx, gi):
+        u = _u(ctx, gi)
+        b = jnp.exp(-u * u)
+        return b, (-2.0 / denominator) * u * b
+
+    return Family(num_grids, setup, basis, basis_grad)
+
+
+def bspline_family(grid_size: int, spline_order: int) -> Family:
+    """Cox–de Boor levels built once per tile and shared across output knots
+    (reference recursion ``effkan.py:115-125``, per-column form).
+
+    extras: ``gridT (knots, in)`` in VMEM (transposed so knot rows slice on
+    the second-minor axis). Level lists hold (bn, in) tensors; the derivative
+    levels follow ``B_k' = w1' B + w1 B' + w2' B + w2 B'``.
+    """
+    ng = grid_size + spline_order
+
+    def _levels(x, g, with_grad):
+        n0 = grid_size + 2 * spline_order  # number of order-0 bases
+        b = [
+            ((x >= g[j, :]) & (x < g[j + 1, :])).astype(x.dtype)
+            for j in range(n0)
+        ]
+        db = [jnp.zeros_like(x) for _ in range(n0)] if with_grad else None
+        for k in range(1, spline_order + 1):
+            nb, ndb = [], []
+            for j in range(n0 - k):
+                inv1 = 1.0 / (g[j + k, :] - g[j, :])
+                inv2 = 1.0 / (g[j + k + 1, :] - g[j + 1, :])
+                w1 = (x - g[j, :]) * inv1
+                w2 = (g[j + k + 1, :] - x) * inv2
+                nb.append(w1 * b[j] + w2 * b[j + 1])
+                if with_grad:
+                    ndb.append(
+                        inv1 * b[j] + w1 * db[j] - inv2 * b[j + 1] + w2 * db[j + 1]
+                    )
+            b = nb
+            if with_grad:
+                db = ndb
+        return b, db
+
+    def setup(x, gridt_ref):
+        return {"x": x, "g": gridt_ref, "cache": {}}
+
+    def _ensure(ctx, with_grad):
+        key = "grad" if with_grad else "plain"
+        if key not in ctx["cache"]:
+            ctx["cache"][key] = _levels(ctx["x"], ctx["g"], with_grad)
+        return ctx["cache"][key]
+
+    def basis(ctx, gi):
+        b, _ = _ensure(ctx, False)
+        return b[gi]
+
+    def basis_grad(ctx, gi):
+        b, db = _ensure(ctx, True)
+        return b[gi], db[gi]
+
+    return Family(ng, setup, basis, basis_grad)
+
+
+# ---------------------------------------------------------------------------
+# Generic kernel template
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(*refs, family):
+    x_ref, w_ref, *extra_refs, y_ref = refs
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    acc = jnp.zeros(y_ref.shape, jnp.float32)
+    for gi in range(family.ng):
+        b_g = family.basis(ctx, gi)  # (bn, in)
+        acc += jax.lax.dot_general(
+            b_g, w_ref[gi].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    y_ref[:] = acc.astype(y_ref.dtype)
+
+
+def _bwd_kernel(*refs, family):
+    x_ref, w_ref, g_ref, *extra_refs, dx_ref, dw_ref, dw_acc = refs
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:].astype(jnp.float32)  # (bn, out)
+    ctx = family.setup(x, *extra_refs)
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for gi in range(family.ng):
+        b_g, db_g = family.basis_grad(ctx, gi)
+        dw_acc[gi] += jax.lax.dot_general(
+            b_g, gout, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (in, out)
+        gw = jax.lax.dot_general(
+            gout, w_ref[gi].astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn, in)
+        dx += gw * db_g
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+
+
+def _full_vmem_spec(arr):
+    ndim = arr.ndim
+    return pl.BlockSpec(
+        arr.shape, lambda i, _n=ndim: (0,) * _n, memory_space=pltpu.VMEM
+    )
+
+
+def _smem_spec(arr):
+    ndim = arr.ndim
+    return pl.BlockSpec(
+        arr.shape, lambda i, _n=ndim: (0,) * _n, memory_space=pltpu.SMEM
+    )
+
+
+def _fused_fwd(x2d, w3d, extras, extra_specs, family):
+    """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    bn = min(_ROW_BLOCK, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, family=family),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, out), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d, *extras)
+    return y[:n]
+
+
+def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
+    """Returns (dx (N, in), dw (ng, in, out))."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    bn = min(_ROW_BLOCK, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero g rows -> zero dw contrib
+    dx, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, family=family),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+            jax.ShapeDtypeStruct((ng, nin, out), w3d.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((ng, nin, out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d, gp, *extras)
+    return dx[:n], dw
+
+
+# ---------------------------------------------------------------------------
+# Per-family custom-VJP ops over (x2d, w3d[, extras])
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bspline_op(x2d, w3d, gridt, grid_size, spline_order):
+    fam = bspline_family(grid_size, spline_order)
+    return _fused_fwd(x2d, w3d, (gridt,), (_full_vmem_spec(gridt),), fam)
+
+
+def _bspline_op_fwd(x2d, w3d, gridt, grid_size, spline_order):
+    return _bspline_op(x2d, w3d, gridt, grid_size, spline_order), (x2d, w3d, gridt)
+
+
+def _bspline_op_bwd(grid_size, spline_order, res, g):
+    x2d, w3d, gridt = res
+    fam = bspline_family(grid_size, spline_order)
+    dx, dw = _fused_bwd(x2d, w3d, g, (gridt,), (_full_vmem_spec(gridt),), fam)
+    return dx, dw, jnp.zeros_like(gridt)
+
+
+_bspline_op.defvjp(_bspline_op_fwd, _bspline_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _rbf_op(x2d, w3d, grid2d, num_grids, denominator):
+    fam = rbf_family(num_grids, denominator)
+    return _fused_fwd(x2d, w3d, (grid2d,), (_smem_spec(grid2d),), fam)
+
+
+def _rbf_op_fwd(x2d, w3d, grid2d, num_grids, denominator):
+    return _rbf_op(x2d, w3d, grid2d, num_grids, denominator), (x2d, w3d, grid2d)
+
+
+def _rbf_op_bwd(num_grids, denominator, res, g):
+    x2d, w3d, grid2d = res
+    fam = rbf_family(num_grids, denominator)
+    dx, dw = _fused_bwd(x2d, w3d, g, (grid2d,), (_smem_spec(grid2d),), fam)
+    return dx, dw, jnp.zeros_like(grid2d)
+
+
+_rbf_op.defvjp(_rbf_op_fwd, _rbf_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _sine_op(x2d, w3d, freq2d, phase, grid_size):
+    fam = sine_family(grid_size)
+    return _fused_fwd(
+        x2d, w3d, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)), fam
+    )
+
+
+def _sine_op_fwd(x2d, w3d, freq2d, phase, grid_size):
+    return _sine_op(x2d, w3d, freq2d, phase, grid_size), (x2d, w3d, freq2d, phase)
+
+
+def _sine_op_bwd(grid_size, res, g):
+    x2d, w3d, freq2d, phase = res
+    fam = sine_family(grid_size)
+    dx, dw = _fused_bwd(
+        x2d, w3d, g, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)),
+        fam,
+    )
+    # dfreq: small per-harmonic reduction, one fused XLA expression.
+    # phase here is (ng, in); sine_bases expects (in, ng).
+    _, _, dbf = K.sine_bases_and_grad(x2d, freq2d[0], phase.T)  # (N, in, ng)
+    gw = jnp.einsum("no,gio->nig", g.astype(jnp.float32), w3d.astype(jnp.float32))
+    dfreq = jnp.sum(gw * dbf, axis=(0, 1))[None].astype(freq2d.dtype)
+    return dx, dw, dfreq, jnp.zeros_like(phase)
+
+
+_sine_op.defvjp(_sine_op_fwd, _sine_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fourier_op(x2d, w3d, grid_size):
+    return _fused_fwd(x2d, w3d, (), (), fourier_family(grid_size))
+
+
+def _fourier_op_fwd(x2d, w3d, grid_size):
+    return _fourier_op(x2d, w3d, grid_size), (x2d, w3d)
+
+
+def _fourier_op_bwd(grid_size, res, g):
+    x2d, w3d = res
+    dx, dw = _fused_bwd(x2d, w3d, g, (), (), fourier_family(grid_size))
+    return dx, dw
+
+
+_fourier_op.defvjp(_fourier_op_fwd, _fourier_op_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _cheby_op(x2d, w3d, degree):
+    return _fused_fwd(x2d, w3d, (), (), cheby_family(degree))
+
+
+def _cheby_op_fwd(x2d, w3d, degree):
+    return _cheby_op(x2d, w3d, degree), (x2d, w3d)
+
+
+def _cheby_op_bwd(degree, res, g):
+    x2d, w3d = res
+    dx, dw = _fused_bwd(x2d, w3d, g, (), (), cheby_family(degree))
+    return dx, dw
+
+
+_cheby_op.defvjp(_cheby_op_fwd, _cheby_op_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Layer-facing entry points (same signatures as kanvit.ops.kan_bases)
+# ---------------------------------------------------------------------------
+
+def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order=3):
+    lead = x.shape[:-1]
+    nin = x.shape[-1]
+    out = base_weight.shape[0]
+    xf = x.reshape(-1, nin)
+    ng = spline_weight.shape[-1]  # grid_size + spline_order
+    if not _should_fuse(xf.shape[0], ng * nin):
+        return K.bspline_kan_forward(
+            x, grid, base_weight, spline_weight, spline_scaler, spline_order
+        )
+    scaled = (
+        spline_weight * spline_scaler[..., None]
+        if spline_scaler is not None
+        else spline_weight
+    )
+    w3d = scaled.transpose(2, 1, 0)  # (ng, in, out)
+    spline = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order)
+    y = jax.nn.silu(xf) @ base_weight.T + spline
+    return y.reshape(*lead, out)
+
+
+def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
+            base_weight, base_bias):
+    lead = x.shape[:-1]
+    nin = x.shape[-1]
+    out = spline_weight.shape[0]
+    ng = rbf_grid.shape[-1]
+    xf = x.reshape(-1, nin)
+    if not _should_fuse(xf.shape[0], spline_weight.shape[1]):
+        return K.fastkan_forward(
+            x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
+            base_weight, base_bias,
+        )
+    # LayerNorm stays outside the custom VJP: XLA fuses and differentiates it.
+    ln = K.layernorm(xf, ln_gamma, ln_beta)
+    w3d = spline_weight.reshape(out, nin, ng).transpose(2, 1, 0)
+    y = _rbf_op(ln, w3d, rbf_grid.reshape(1, -1), ng, float(rbf_denominator))
+    if base_weight is not None:
+        y = y + jax.nn.silu(xf) @ base_weight.T + base_bias
+    return y.reshape(*lead, out)
+
+
+def sinekan(x, freq, phase, amplitudes, bias):
+    lead = x.shape[:-1]
+    nin = x.shape[-1]
+    out = amplitudes.shape[0]
+    ng = freq.shape[-1]
+    xf = x.reshape(-1, nin)
+    if not _should_fuse(xf.shape[0], nin * ng):
+        return K.sinekan_forward(x, freq, phase, amplitudes, bias)
+    w3d = amplitudes.transpose(2, 1, 0)  # (ng, in, out)
+    y = _sine_op(xf, w3d, freq.reshape(1, -1), phase.T, ng)
+    if bias is not None:
+        y = y + bias
+    return y.reshape(*lead, out)
+
+
+def fourierkan(x, coeffs, bias):
+    lead = x.shape[:-1]
+    nin = x.shape[-1]
+    _, out, _, grid_size = coeffs.shape
+    xf = x.reshape(-1, nin)
+    if not _should_fuse(xf.shape[0], nin * 2 * grid_size):
+        return K.fourierkan_forward(x, coeffs, bias)
+    # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
+    w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)
+    y = _fourier_op(xf, w3d, grid_size)
+    if bias is not None:
+        y = y + bias
+    return y.reshape(*lead, out)
+
+
+def chebykan(x, coeffs):
+    lead = x.shape[:-1]
+    nin, out, deg1 = coeffs.shape
+    xf = x.reshape(-1, nin)
+    if not _should_fuse(xf.shape[0], nin * deg1):
+        return K.chebykan_forward(x, coeffs)
+    w3d = coeffs.transpose(2, 0, 1)  # (deg+1, in, out)
+    y = _cheby_op(xf, w3d, deg1 - 1)
+    return y.reshape(*lead, out)

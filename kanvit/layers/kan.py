@@ -147,6 +147,12 @@ class FastKANLayer(nn.Module):
     LayerNorm lives *inside* the layer (fast-kan signature). Params:
     ``ln_weight/ln_bias (in,)``, ``spline_weight (out, in*num_grids)``
     trunc-normal(0.1), optional base branch ``base_weight/base_bias``.
+
+    Param-count note: the reference registers its fixed RBF grid as a
+    ``requires_grad=False`` ``nn.Parameter`` (``fastkan.py:25``), so torch's
+    ``.parameters()`` counts ``num_grids`` extra entries per layer that are
+    never trained. kanvit keeps the grid a constant; trainable-parameter
+    counts are identical.
     """
 
     input_dim: int

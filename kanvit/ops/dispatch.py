@@ -38,3 +38,9 @@ def use_pallas() -> bool:
     if _impl == "jnp":
         return False
     return jax.default_backend() == "tpu"
+
+
+def interpret_mode() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (forced-pallas tests
+    on the CPU CI mesh exercise the exact kernel code paths)."""
+    return jax.default_backend() != "tpu"

@@ -99,6 +99,36 @@ def bspline_kan_forward(
     return (base + spline).reshape(*lead, out_features)
 
 
+def bspline_bases_and_grad(
+    x: jnp.ndarray, grid: jnp.ndarray, spline_order: int = 3
+):
+    """B-spline bases and their x-derivative via the recurrence.
+
+    Differentiating the Cox–de Boor refinement (the same recursion as
+    :func:`bspline_bases`): ``B_k = w1 * B_{k-1}[:-1] + w2 * B_{k-1}[1:]``
+    gives ``B_k' = w1' * B_{k-1}[:-1] + w1 * B_{k-1}'[:-1] + w2' * B_{k-1}[1:]
+    + w2 * B_{k-1}'[1:]`` with ``w1' = 1/(g[k:-1] - g[:-(k+1)])`` and
+    ``w2' = -1/(g[k+1:] - g[1:-k])``; the order-0 derivative is 0 a.e.
+    Used by the fused Pallas kernel's hand-derived VJP.
+    """
+    xe = x[..., None]
+    bases = ((xe >= grid[:, :-1]) & (xe < grid[:, 1:])).astype(x.dtype)
+    dbases = jnp.zeros_like(bases)
+    for k in range(1, spline_order + 1):
+        inv1 = 1.0 / (grid[:, k:-1] - grid[:, : -(k + 1)])
+        inv2 = 1.0 / (grid[:, k + 1 :] - grid[:, 1:-k])
+        w1 = (xe - grid[:, : -(k + 1)]) * inv1
+        w2 = (grid[:, k + 1 :] - xe) * inv2
+        dbases = (
+            inv1 * bases[..., :-1]
+            + w1 * dbases[..., :-1]
+            - inv2 * bases[..., 1:]
+            + w2 * dbases[..., 1:]
+        )
+        bases = w1 * bases[..., :-1] + w2 * bases[..., 1:]
+    return bases, dbases
+
+
 def bspline_curve2coeff(
     x: jnp.ndarray, y: jnp.ndarray, grid: jnp.ndarray, spline_order: int = 3
 ) -> jnp.ndarray:
@@ -230,6 +260,13 @@ def fastkan_forward(
     return ret.reshape(*lead, out_features)
 
 
+def rbf_bases_and_grad(x: jnp.ndarray, grid: jnp.ndarray, denominator: float):
+    """RBF bases and x-derivative: ``d/dx exp(-u^2) = -2u/denom * exp(-u^2)``."""
+    u = (x[..., None] - grid) / denominator
+    b = jnp.exp(-(u**2))
+    return b, (-2.0 / denominator) * u * b
+
+
 # ---------------------------------------------------------------------------
 # Sine (SineKAN)
 # ---------------------------------------------------------------------------
@@ -241,6 +278,18 @@ def sine_bases(x: jnp.ndarray, freq: jnp.ndarray, phase: jnp.ndarray) -> jnp.nda
     over inputs), ``phase``: ``(in, grid)``. Returns ``(..., in, grid)``.
     """
     return jnp.sin(x[..., None] * freq + phase)
+
+
+def sine_bases_and_grad(x: jnp.ndarray, freq: jnp.ndarray, phase: jnp.ndarray):
+    """Sine bases plus derivatives w.r.t. x and (per-harmonic) freq.
+
+    ``b = sin(x f + p)``; ``db/dx = f cos(x f + p)``;
+    ``db/df = x cos(x f + p)`` (freq is trainable in the reference,
+    ``sinekan.py:65-70``).
+    """
+    arg = x[..., None] * freq + phase
+    c = jnp.cos(arg)
+    return jnp.sin(arg), freq * c, x[..., None] * c
 
 
 def sinekan_forward(
@@ -307,6 +356,17 @@ def fourier_bases(x: jnp.ndarray, grid_size: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.cos(kx), jnp.sin(kx)], axis=-1)
 
 
+def fourier_bases_and_grad(x: jnp.ndarray, grid_size: int):
+    """Fourier bases and x-derivative: ``d cos(kx) = -k sin(kx)``,
+    ``d sin(kx) = k cos(kx)`` (concat layout matching :func:`fourier_bases`)."""
+    k = jnp.arange(1, grid_size + 1, dtype=x.dtype)
+    kx = x[..., None] * k
+    c, s = jnp.cos(kx), jnp.sin(kx)
+    b = jnp.concatenate([c, s], axis=-1)
+    db = jnp.concatenate([-k * s, k * c], axis=-1)
+    return b, db
+
+
 def fourierkan_forward(
     x: jnp.ndarray,
     coeffs: jnp.ndarray,
@@ -346,6 +406,21 @@ def cheby_bases(x: jnp.ndarray, degree: int) -> jnp.ndarray:
     t = jnp.tanh(x)
     n = jnp.arange(degree + 1, dtype=x.dtype)
     return jnp.cos(n * jnp.arccos(t)[..., None])
+
+
+def cheby_bases_and_grad(x: jnp.ndarray, degree: int):
+    """Chebyshev bases of ``t = tanh(x)`` and x-derivative.
+
+    ``d/dx cos(n acos(t)) = n sin(n acos(t)) / sqrt(1 - t^2) * (1 - t^2)
+    = n sin(n acos(t)) * sqrt(1 - t^2)`` — closed form, finite at |t| -> 1
+    (unlike autodiff through acos).
+    """
+    t = jnp.tanh(x)
+    n = jnp.arange(degree + 1, dtype=x.dtype)
+    theta = jnp.arccos(t)[..., None]
+    b = jnp.cos(n * theta)
+    db = n * jnp.sin(n * theta) * jnp.sqrt(jnp.clip(1.0 - t * t, 0.0, None))[..., None]
+    return b, db
 
 
 def chebykan_forward(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:

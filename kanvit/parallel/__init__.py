@@ -1,0 +1,15 @@
+from kanvit.parallel.mesh import (
+    create_mesh,
+    batch_sharding,
+    param_shardings,
+    shard_state,
+    TP_RULES,
+)
+
+__all__ = [
+    "create_mesh",
+    "batch_sharding",
+    "param_shardings",
+    "shard_state",
+    "TP_RULES",
+]

@@ -1,0 +1,225 @@
+"""Training loop — the reference trainer's flow, jit-compiled and device-hot.
+
+Mirrors reference ``train.py:13-84``: per-epoch train pass collecting
+predictions for the four-metric report, metrics persisted on the final train
+epoch (flag=0) and after the test pass (flag=1), identical log lines. The
+differences are the TPU-native ones: one fused jit step (no per-batch D2H
+sync), device-side logit collection transferred once per epoch, optional
+bf16 policy, data-parallel mesh sharding, checkpoint/resume, and a
+steps/sec + images/sec throughput meter (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kanvit.data.datasets import load_dataset
+from kanvit.data.pipeline import (
+    CIFAR100_MEAN,
+    CIFAR100_STD,
+    DataPipeline,
+)
+from kanvit.models import create_model
+from kanvit.parallel.mesh import batch_sharding, create_mesh, shard_state
+from kanvit.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from kanvit.train.logging_utils import save_metrics, setup_logging
+from kanvit.train.metrics import calculate_metrics
+from kanvit.train.state import create_train_state
+from kanvit.train.steps import make_eval_step, make_train_step
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 20
+    batch_size: int = 128
+    learning_rate: float = 1e-3
+    model_type: str = "vanilla"
+    n_blocks: int = 8
+    d_hidden: int = 64
+    n_heads: int = 8
+    log_dir: str = "logs"
+    dataset: str = "cifar100"
+    data_dir: str | None = None
+    seed: int = 0
+    bf16: bool = False
+    ckpt_dir: str | None = None
+    resume: bool = False
+    n_model_shards: int = 1
+    profile_dir: str | None = None
+    limit_train_batches: int | None = None
+    limit_eval_batches: int | None = None
+
+
+def _dataset_model_config(dataset: str):
+    """Reference shapes: CIFAR config from ``train.py:18-20``; MNIST config
+    from the ctor defaults (``model.py:49``)."""
+    if dataset == "cifar100":
+        return dict(chw=(3, 32, 32), n_patches=4, out_d=100)
+    return dict(chw=(1, 28, 28), n_patches=7, out_d=10)
+
+
+def build_pipelines(cfg: TrainConfig):
+    x_tr, y_tr, num_classes = load_dataset(cfg.dataset, cfg.data_dir, train=True)
+    x_te, y_te, _ = load_dataset(cfg.dataset, cfg.data_dir, train=False)
+    is_cifar = cfg.dataset == "cifar100"
+    stats = (CIFAR100_MEAN, CIFAR100_STD) if is_cifar else None
+    train_pipe = DataPipeline(
+        x_tr, y_tr, cfg.batch_size, shuffle=True, augment=is_cifar,
+        normalize_stats=stats, seed=cfg.seed,
+    )
+    test_pipe = DataPipeline(
+        x_te, y_te, cfg.batch_size, shuffle=False, augment=False,
+        normalize_stats=stats, seed=cfg.seed,
+    )
+    return train_pipe, test_pipe, num_classes
+
+
+def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
+    model = create_model(
+        cfg.model_type,
+        chw=chw,
+        n_patches=n_patches,
+        n_blocks=cfg.n_blocks,
+        d_hidden=cfg.d_hidden,
+        n_heads=cfg.n_heads,
+        out_d=num_classes,
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+    sample = jnp.zeros((1, *chw), jnp.float32)
+    state = create_train_state(model, rng, sample, cfg.learning_rate)
+    return model, state
+
+
+def _epoch_metrics(losses, logits_list, labels_list, num_classes):
+    losses = np.asarray(jax.device_get(losses))
+    logits = np.concatenate([np.asarray(jax.device_get(l)) for l in logits_list])
+    labels = np.concatenate(labels_list)
+    preds = logits.argmax(-1)
+    # softmax on host, f64 for a stable AUC
+    z = logits.astype(np.float64) - logits.max(-1, keepdims=True)
+    probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+    acc, bal, f1, auc = calculate_metrics(labels, preds, probs, num_classes)
+    return float(losses.mean()), acc, bal, f1, auc
+
+
+def run(cfg: TrainConfig) -> dict:
+    """Train + evaluate; returns a result summary dict."""
+    metrics_file = setup_logging(cfg.log_dir, dataset=cfg.dataset)
+    log = logging.getLogger("kanvit.train")
+    devices = jax.devices()
+    log.info(
+        "Using %d %s device(s): %s", len(devices), jax.default_backend(), devices
+    )
+
+    train_pipe, test_pipe, num_classes = build_pipelines(cfg)
+    mcfg = _dataset_model_config(cfg.dataset)
+    chw = tuple(train_pipe.images.shape[1:])
+    model, state = build_model_and_state(
+        cfg, num_classes, chw, mcfg["n_patches"]
+    )
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    log.info("Model %s: %d parameters", cfg.model_type, n_params)
+
+    # Mesh: DP over remaining devices, optional TP over n_model_shards.
+    mesh = create_mesh(n_model=cfg.n_model_shards)
+    state = shard_state(state, mesh)
+    data_shard = batch_sharding(mesh)
+
+    if cfg.resume and cfg.ckpt_dir:
+        path = latest_checkpoint(cfg.ckpt_dir)
+        if path:
+            state = restore_checkpoint(path, state)
+            log.info("Resumed from %s (step %d)", path, int(state.step))
+
+    train_step = make_train_step(bf16=cfg.bf16)
+    eval_step = make_eval_step(bf16=cfg.bf16)
+
+    def put(x):
+        return jax.device_put(x, data_shard)
+
+    summary = {}
+    total_images = 0
+    train_t0 = time.perf_counter()
+    for epoch in range(cfg.epochs):
+        losses, logit_buf, label_buf = [], [], []
+        t0 = time.perf_counter()
+        n_batches = 0
+        for bi, (x, y) in enumerate(train_pipe):
+            if cfg.limit_train_batches and bi >= cfg.limit_train_batches:
+                break
+            state, loss, logits = train_step(state, put(x), put(y))
+            losses.append(loss)
+            logit_buf.append(logits)
+            label_buf.append(y)
+            n_batches += 1
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
+        images = n_batches * cfg.batch_size
+        total_images += images
+
+        loss, acc, bal, f1, auc = _epoch_metrics(
+            losses, logit_buf, label_buf, num_classes
+        )
+        log.info("Epoch %d/%d", epoch + 1, cfg.epochs)
+        log.info("  Train Loss: %.4f", loss)
+        log.info("  Train Accuracy: %.4f", acc)
+        log.info("  Train Balanced Accuracy: %.4f", bal)
+        log.info("  Train F1 Score: %.4f", f1)
+        log.info("  Train ROC AUC: %.4f", auc)
+        log.info(
+            "  Throughput: %.1f images/sec (%.1f steps/sec, %d devices)",
+            images / dt, n_batches / dt, len(devices),
+        )
+        summary.update(
+            train_loss=loss, train_accuracy=acc, images_per_sec=images / dt
+        )
+
+        if epoch == cfg.epochs - 1:
+            save_metrics(
+                metrics_file, epoch + 1, "Train", loss, acc, bal, f1, auc, flag=0
+            )
+        if cfg.ckpt_dir:
+            save_checkpoint(cfg.ckpt_dir, jax.device_get(state), int(state.step))
+
+    summary["train_time_sec"] = time.perf_counter() - train_t0
+    summary["total_train_images"] = total_images
+
+    # Test pass (reference train.py:58-84)
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+    losses, logit_buf, label_buf = [], [], []
+    for bi, (x, y) in enumerate(test_pipe):
+        if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
+            break
+        loss, logits = eval_step(state, put(x), put(y))
+        losses.append(loss)
+        logit_buf.append(logits)
+        label_buf.append(y)
+    if losses:
+        loss, acc, bal, f1, auc = _epoch_metrics(
+            losses, logit_buf, label_buf, num_classes
+        )
+        log.info("Test Results:")
+        log.info("  Test Loss: %.4f", loss)
+        log.info("  Test Accuracy: %.4f", acc)
+        log.info("  Test Balanced Accuracy: %.4f", bal)
+        log.info("  Test F1 Score: %.4f", f1)
+        log.info("  Test ROC AUC: %.4f", auc)
+        save_metrics(
+            metrics_file, cfg.epochs, "Test", loss, acc, bal, f1, auc, flag=1
+        )
+        summary.update(test_loss=loss, test_accuracy=acc)
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+
+    return summary

@@ -1,0 +1,53 @@
+"""jit-compiled train/eval steps with optional bf16 compute policy.
+
+One fused XLA program per step: forward, CE loss, backward, Adam update.
+Loss/logit outputs stay on device; the loop transfers them once per epoch
+(the reference does a D2H sync every batch, ``train.py:37,42-44`` — a
+throughput drag kanvit deliberately avoids, SURVEY §7 "hard parts").
+
+Mixed precision is the TPU-native policy the reference only gestures at with
+its unused autocast/GradScaler (``attention.py:58-59,99-103``, SURVEY §2.10):
+bf16 compute with f32 params and f32 loss — no loss scaler needed since bf16
+has f32's exponent range.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _loss_and_logits(apply_fn, params, x, y, bf16: bool):
+    if bf16:
+        params = jax.tree.map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+        )
+        x = x.astype(jnp.bfloat16)
+    logits = apply_fn({"params": params}, x).astype(jnp.float32)
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+    return loss, logits
+
+
+def make_train_step(bf16: bool = False, donate: bool = True) -> Callable:
+    """Returns ``step(state, x, y) -> (state, loss, logits)`` (jitted)."""
+
+    def train_step(state, x, y):
+        (loss, logits), grads = jax.value_and_grad(
+            lambda p: _loss_and_logits(state.apply_fn, p, x, y, bf16), has_aux=True
+        )(state.params)
+        return state.apply_gradients(grads=grads), loss, logits
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(bf16: bool = False) -> Callable:
+    """Returns ``step(state, x, y) -> (loss, logits)`` (jitted)."""
+
+    def eval_step(state, x, y):
+        return _loss_and_logits(state.apply_fn, state.params, x, y, bf16)
+
+    return jax.jit(eval_step)
