@@ -1,0 +1,87 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Measures steady-state training throughput (images/sec/chip) of the flagship
+EfficientKAN-ViT in the reference's MNIST ctor configuration
+(``model.py:49``: 4 blocks, d=64, 2 heads, 7x7 patches, 10 classes) with the
+reference's training schedule (Adam, CE, batch 128 — ``train.py:22-23,88-90``)
+on synthetic MNIST-shaped data.
+
+``vs_baseline`` is the ratio against the executed PyTorch reference measured
+on this host (benchmarks/reference_baseline.json — the reference publishes
+no numbers, SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-type", default="efficientkan")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    from kanvit.models import create_model
+    from kanvit.train.state import create_train_state
+    from kanvit.train.steps import make_train_step
+
+    model = create_model(
+        args.model_type, chw=(1, 28, 28), n_patches=7, n_blocks=4,
+        d_hidden=64, n_heads=2, out_d=10,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((1, 1, 28, 28)))
+    step = make_train_step(bf16=args.bf16)
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (args.batch_size,), 0, 10)
+
+    for _ in range(args.warmup):
+        state, loss, _ = step(state, x, y)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, loss, _ = step(state, x, y)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    ips = args.batch_size * args.steps / dt / n_chips
+    step_ms = dt / args.steps * 1000
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "benchmarks", "reference_baseline.json",
+    )
+    vs = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)["images_per_sec"].get(args.model_type)
+        if ref:
+            vs = round(ips / ref, 2)
+
+    print(json.dumps({
+        "metric": f"mnist_{args.model_type}_train_images_per_sec_per_chip",
+        "value": round(ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": vs,
+        "step_time_ms": round(step_ms, 2),
+        "batch_size": args.batch_size,
+        "device": str(jax.devices()[0]),
+        "bf16": args.bf16,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -102,19 +102,27 @@ def fourier_family(grid_size: int) -> Family:
 
 
 def cheby_family(degree: int) -> Family:
+    """Chebyshev via the three-term recurrence ``T_n = 2 t T_{n-1} - T_{n-2}``
+    on ``t = tanh(x)`` — identical to the reference's ``cos(n acos t)`` trick
+    (``cheby.py:41-43``) for |t| <= 1, but pure mul/add (``acos`` has no
+    Pallas TPU lowering). Derivative recurrence:
+    ``T'_n = 2 T_{n-1} + 2 t T'_{n-1} - T'_{n-2}``, chained with
+    ``dt/dx = 1 - t^2``."""
+
     def setup(x):
         t = jnp.tanh(x)
-        return {
-            "theta": jnp.arccos(t),
-            "sq": jnp.sqrt(jnp.clip(1.0 - t * t, 0.0, None)),
-        }
+        ts = [jnp.ones_like(t), t]
+        dts = [jnp.zeros_like(t), jnp.ones_like(t)]
+        for n in range(2, degree + 1):
+            ts.append(2.0 * t * ts[n - 1] - ts[n - 2])
+            dts.append(2.0 * ts[n - 1] + 2.0 * t * dts[n - 1] - dts[n - 2])
+        return {"ts": ts, "dts": dts, "dtdx": 1.0 - t * t}
 
     def basis(ctx, gi):
-        return jnp.cos(gi * ctx["theta"])
+        return ctx["ts"][gi]
 
     def basis_grad(ctx, gi):
-        # d/dx cos(n acos(tanh x)) = n sin(n acos t) sqrt(1 - t^2)
-        return jnp.cos(gi * ctx["theta"]), gi * jnp.sin(gi * ctx["theta"]) * ctx["sq"]
+        return ctx["ts"][gi], ctx["dts"][gi] * ctx["dtdx"]
 
     return Family(degree + 1, setup, basis, basis_grad)
 

@@ -1,0 +1,39 @@
+"""Test harness: CPU backend with 8 simulated devices (SURVEY §4.5).
+
+Must run before any jax import. ``JAX_PLATFORM_NAME`` (not ``JAX_PLATFORMS``)
+is what overrides the axon TPU plugin in this environment.
+"""
+
+import os
+
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon sitecustomize imports jax at interpreter startup (before this
+# conftest), so env vars alone are too late — use the config API, which
+# works post-import as long as no backend has initialized yet.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def goldens_dir():
+    return GOLDENS
+
+
+def load_golden(name):
+    path = os.path.join(GOLDENS, f"{name}.npz")
+    data = dict(np.load(path))
+    sd = {k[3:]: v for k, v in data.items() if k.startswith("sd.")}
+    rest = {k: v for k, v in data.items() if not k.startswith("sd.")}
+    return rest, sd

@@ -1,0 +1,143 @@
+"""Pallas kernels vs pure-JAX ground truth — run in interpreter mode on the
+CPU CI mesh (exact same kernel code paths as TPU; SURVEY §4.2).
+
+Shapes are kept tiny: interpret mode executes the grid serially.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanvit.ops import dispatch
+from kanvit.ops import kan_bases as K
+from kanvit.ops.attention import flash_attention_reference
+
+
+@pytest.fixture(autouse=True)
+def force_pallas():
+    dispatch.set_impl("pallas")
+    yield
+    dispatch.set_impl("auto")
+
+
+def test_flash_attention_kernel_fwd_bwd():
+    from kanvit.kernels.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 20, 8))
+    k = jax.random.normal(kk, (1, 2, 20, 8))
+    v = jax.random.normal(kv, (1, 2, 20, 8))
+
+    o = flash_attention(q, k, v, False, 16, 16)
+    ref, _ = flash_attention_reference(q, k, v, False, 16, 16)
+    assert np.abs(np.asarray(o - ref)).max() < 1e-5
+
+    f_pal = lambda q, k, v: (flash_attention(q, k, v, False, 16, 16) ** 2).sum()
+    f_ref = lambda q, k, v: (
+        flash_attention_reference(q, k, v, False, 16, 16)[0] ** 2
+    ).sum()
+    gp = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        assert np.abs(np.asarray(a - b)).max() < 1e-4
+
+
+def test_flash_attention_kernel_causal():
+    from kanvit.kernels.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(1)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 1, 24, 8))
+    k = jax.random.normal(kk, (1, 1, 24, 8))
+    v = jax.random.normal(kv, (1, 1, 24, 8))
+    o = flash_attention(q, k, v, True, 16, 16)
+    ref, _ = flash_attention_reference(q, k, v, True, 16, 16)
+    assert np.abs(np.asarray(o - ref)).max() < 1e-5
+
+
+N, IN, OUT = 24, 8, 16
+
+
+@pytest.fixture
+def x():
+    return jax.random.normal(jax.random.PRNGKey(2), (N, IN)) * 0.8
+
+
+def _check_grads(f_pal, f_ref, args, tol=1e-4):
+    gp = jax.grad(lambda *a: (f_pal(*a) ** 2).sum(), argnums=tuple(range(len(args))))(*args)
+    gr = jax.grad(lambda *a: (f_ref(*a) ** 2).sum(), argnums=tuple(range(len(args))))(*args)
+    for a, b in zip(gp, gr):
+        assert np.abs(np.asarray(a - b)).max() < tol
+
+
+def test_fused_bspline(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    grid = K.make_bspline_grid(IN, 5, 3)
+    bw = jax.random.normal(k1, (OUT, IN)) * 0.1
+    sw = jax.random.normal(k2, (OUT, IN, 8)) * 0.1
+    sc = jax.random.normal(k3, (OUT, IN)) * 0.1
+    f_pal = lambda x, bw, sw, sc: FB.bspline_kan(x, grid, bw, sw, sc, 3)
+    f_ref = lambda x, bw, sw, sc: K.bspline_kan_forward(x, grid, bw, sw, sc, 3)
+    assert np.abs(np.asarray(f_pal(x, bw, sw, sc) - f_ref(x, bw, sw, sc))).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, bw, sw, sc))
+
+
+def test_fused_fastkan(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lg, lb = jnp.ones(IN), jnp.zeros(IN)
+    rg, den = jnp.linspace(-2, 2, 8), 4.0 / 7.0
+    spw = jax.random.normal(k1, (OUT, IN * 8)) * 0.1
+    bw = jax.random.normal(k2, (OUT, IN)) * 0.1
+    bb = jax.random.normal(k3, (OUT,)) * 0.1
+    f_pal = lambda x, s, w, b: FB.fastkan(x, lg, lb, rg, den, s, w, b)
+    f_ref = lambda x, s, w, b: K.fastkan_forward(x, lg, lb, rg, den, s, w, b)
+    assert np.abs(np.asarray(f_pal(x, spw, bw, bb) - f_ref(x, spw, bw, bb))).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, spw, bw, bb))
+
+
+def test_fused_sine(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(5)
+    freq = jnp.arange(1, 5.0) / 5
+    phase = K.sinekan_phase_init(IN, 4)
+    amp = jax.random.normal(key, (OUT, IN, 4)) * 0.1
+    bias = jnp.ones(OUT) / OUT
+    f_pal = lambda x, f, a, b: FB.sinekan(x, f, phase, a, b)
+    f_ref = lambda x, f, a, b: K.sinekan_forward(x, f, phase, a, b)
+    assert np.abs(
+        np.asarray(f_pal(x, freq, amp, bias) - f_ref(x, freq, amp, bias))
+    ).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, freq, amp, bias))
+
+
+def test_fused_fourier(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(6)
+    k1, k2 = jax.random.split(key)
+    co = jax.random.normal(k1, (2, OUT, IN, 5)) * 0.05
+    bias = jax.random.normal(k2, (OUT,)) * 0.1
+    f_pal = lambda x, c, b: FB.fourierkan(x, c, b)
+    f_ref = lambda x, c, b: K.fourierkan_forward(x, c, b)
+    assert np.abs(np.asarray(f_pal(x, co, bias) - f_ref(x, co, bias))).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, co, bias))
+
+
+def test_fused_cheby(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(7)
+    cc = jax.random.normal(key, (IN, OUT, 5)) * 0.05
+    f_pal = lambda x, c: FB.chebykan(x, c)
+    f_ref = lambda x, c: K.chebykan_forward(x, c)
+    assert np.abs(np.asarray(f_pal(x, cc) - f_ref(x, cc))).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, cc))

@@ -1,0 +1,72 @@
+"""End-to-end logit parity: kanvit models with imported reference weights.
+
+The strictest gate (SURVEY §4.1): load the executed reference's state_dict
+through ``kanvit.utils.torch_compat`` and require logits within 1e-3
+(BASELINE.json target; typically ~1e-5 observed at f32 on CPU).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import load_golden
+from kanvit.models import create_model
+from kanvit.utils.torch_compat import params_from_torch_state_dict
+
+VARIANTS = ["vanilla", "efficientkan", "fast", "sine", "flash-attn"]
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_model_logit_parity(variant):
+    g, sd = load_golden(f"model_{variant}")
+    model = create_model(
+        variant, chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=64, n_heads=2, out_d=10,
+    )
+    params = params_from_torch_state_dict(sd)
+    logits = model.apply({"params": params}, jnp.asarray(g["x"]))
+    err = np.abs(np.asarray(logits) - g["y"]).max()
+    assert err < 1e-3, f"{variant} logit err {err}"
+
+
+@pytest.mark.parametrize(
+    "variant", ["vanilla", "efficientkan", "fast", "sine", "cheby", "fourier"]
+)
+def test_msa_parity(variant):
+    """MSA-level parity incl. the fourier-uses-Linear dispatch quirk
+    (reference attention.py:136-142)."""
+    import flax.linen as nn
+
+    from kanvit.layers.attention import MSA
+
+    g, sd = load_golden(f"msa_{variant}")
+    msa = MSA(16, n_heads=2, type=variant)
+    params = params_from_torch_state_dict(
+        {f"blocks.0.attn.{k}": v for k, v in sd.items()}
+    )["blocks_0"]["attn"]
+    out = msa.apply({"params": params}, jnp.asarray(g["x"]))
+    err = np.abs(np.asarray(out) - g["y"]).max()
+    assert err < 1e-4, f"msa {variant} err {err}"
+
+
+def test_all_seven_variants_train_construct():
+    """The cheby and fourier ViT variants crash in the reference
+    (SURVEY §2.9.1-2); kanvit must construct and run all seven."""
+    import jax
+
+    for vt in ["vanilla", "efficientkan", "fast", "sine", "fourier", "cheby",
+               "flash-attn"]:
+        m = create_model(vt, chw=(1, 28, 28), n_patches=7, n_blocks=1,
+                         d_hidden=32, n_heads=2, out_d=10)
+        params = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 1, 28, 28)))["params"]
+        logits = m.apply({"params": params}, jnp.zeros((2, 1, 28, 28)))
+        assert logits.shape == (2, 10)
+        assert bool(jnp.isfinite(logits).all())
+
+
+def test_unknown_variant_raises():
+    with pytest.raises(ValueError, match="Unknown transformer type"):
+        m = create_model("bogus")
+        import jax
+
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))

@@ -1,0 +1,73 @@
+"""Integration: tiny end-to-end training runs (SURVEY §4.4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kanvit.train.loop import TrainConfig, run
+
+
+def _cfg(tmp_path, **kw):
+    base = dict(
+        epochs=2,
+        batch_size=32,
+        model_type="vanilla",
+        n_blocks=1,
+        n_heads=2,
+        d_hidden=32,
+        dataset="synthetic",
+        log_dir=str(tmp_path / "logs"),
+        limit_train_batches=6,
+        limit_eval_batches=2,
+        seed=0,
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_train_loss_decreases_and_artifacts(tmp_path):
+    cfg = _cfg(tmp_path, epochs=3, ckpt_dir=str(tmp_path / "ckpt"))
+    summary = run(cfg)
+    assert np.isfinite(summary["train_loss"])
+    assert summary["test_accuracy"] >= 0.0
+    # metrics file with the reference's format (flag semantics)
+    metrics = [f for f in os.listdir(cfg.log_dir) if f.endswith(".txt")]
+    assert metrics
+    text = open(os.path.join(cfg.log_dir, metrics[0])).read()
+    assert "Epoch: 3, Phase: Train" in text
+    assert "Phase: Test" in text
+    # checkpoints exist
+    assert os.path.exists(os.path.join(cfg.ckpt_dir, "latest"))
+
+
+def test_checkpoint_resume_roundtrip(tmp_path):
+    from kanvit.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from kanvit.train.loop import build_model_and_state
+
+    cfg = _cfg(tmp_path)
+    model, state = build_model_and_state(cfg, 10, (1, 28, 28), 7)
+    path = save_checkpoint(str(tmp_path / "ck"), state, 5)
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
+
+    _, template = build_model_and_state(cfg, 10, (1, 28, 28), 7)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bf16_policy_trains(tmp_path):
+    summary = run(_cfg(tmp_path, epochs=1, bf16=True))
+    assert np.isfinite(summary["train_loss"])
+
+
+@pytest.mark.parametrize("variant", ["efficientkan", "cheby"])
+def test_kan_variants_train(tmp_path, variant):
+    summary = run(_cfg(tmp_path, epochs=1, model_type=variant))
+    assert np.isfinite(summary["train_loss"])
