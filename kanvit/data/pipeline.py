@@ -27,29 +27,15 @@ def normalize(x: np.ndarray, mean: np.ndarray, std: np.ndarray) -> np.ndarray:
     return (x - mean[:, None, None]) / std[:, None, None]
 
 
-def random_flip(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    flip = rng.random(x.shape[0]) < 0.5
-    out = x.copy()
-    out[flip] = out[flip, :, :, ::-1]
-    return out
-
-
-def random_pad_crop(x: np.ndarray, pad: int, rng: np.random.Generator) -> np.ndarray:
-    """Whole-batch pad+random-crop (torchvision RandomCrop(32, padding=4)
-    semantics: zero padding, uniform offset per sample)."""
-    n, c, h, w = x.shape
-    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
-    oy = rng.integers(0, 2 * pad + 1, size=n)
-    ox = rng.integers(0, 2 * pad + 1, size=n)
-    # Gather crops via advanced indexing on a strided view (vectorized).
-    idx_y = oy[:, None] + np.arange(h)[None, :]
-    idx_x = ox[:, None] + np.arange(w)[None, :]
-    return xp[np.arange(n)[:, None, None, None], np.arange(c)[None, :, None, None],
-              idx_y[:, None, :, None], idx_x[:, None, None, :]]
-
-
 class DataPipeline:
-    """Shuffling, augmenting, fixed-shape batch iterator."""
+    """Shuffling, augmenting, fixed-shape batch iterator.
+
+    ``backend='auto'`` uses the native C++ fused pipeline
+    (``kanvit.data.native``: one multithreaded gather+flip+crop+normalize
+    pass) when its shared library loads, else vectorized numpy. Both
+    backends draw randomness from the same generator in the same order, so
+    batches are bit-identical for a given seed.
+    """
 
     def __init__(
         self,
@@ -62,8 +48,9 @@ class DataPipeline:
         normalize_stats: Tuple[np.ndarray, np.ndarray] | None = None,
         seed: int = 0,
         drop_remainder: bool = True,
+        backend: str = "auto",
     ):
-        self.images = images
+        self.images = np.ascontiguousarray(images, np.float32)
         self.labels = labels
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -71,6 +58,12 @@ class DataPipeline:
         self.stats = normalize_stats
         self.rng = np.random.default_rng(seed)
         self.drop_remainder = drop_remainder
+        if backend == "auto":
+            from kanvit.data import native
+
+            self.backend = "native" if native.available() else "numpy"
+        else:
+            self.backend = backend
         if drop_remainder:
             self.num_batches = len(images) // batch_size
         else:
@@ -79,16 +72,44 @@ class DataPipeline:
     def __len__(self) -> int:
         return self.num_batches
 
+    def _draw_aug(self, n: int):
+        flip = self.rng.random(n) < 0.5
+        oy = self.rng.integers(0, 9, size=n)  # pad=4 -> [0, 2*pad]
+        ox = self.rng.integers(0, 9, size=n)
+        return flip, oy, ox
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = len(self.images)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         for b in range(self.num_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            x = self.images[idx]
             y = self.labels[idx]
+            flip = oy = ox = None
             if self.augment:
-                x = random_flip(x, self.rng)
-                x = random_pad_crop(x, 4, self.rng)
-            if self.stats is not None:
-                x = normalize(x, *self.stats)
+                flip, oy, ox = self._draw_aug(len(idx))
+
+            if self.backend == "native":
+                from kanvit.data import native
+
+                mean, std = self.stats if self.stats is not None else (None, None)
+                x = native.augment_batch(
+                    self.images, idx.astype(np.int64), flip, oy, ox, 4, mean, std
+                )
+            else:
+                x = self.images[idx]
+                if self.augment:
+                    xf = x.copy()
+                    xf[flip] = xf[flip, :, :, ::-1]
+                    x = _pad_crop_at(xf, 4, oy, ox)
+                if self.stats is not None:
+                    x = normalize(x, *self.stats)
             yield np.ascontiguousarray(x, np.float32), y
+
+
+def _pad_crop_at(x: np.ndarray, pad: int, oy: np.ndarray, ox: np.ndarray):
+    n, c, h, w = x.shape
+    xp = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    idx_y = oy[:, None] + np.arange(h)[None, :]
+    idx_x = ox[:, None] + np.arange(w)[None, :]
+    return xp[np.arange(n)[:, None, None, None], np.arange(c)[None, :, None, None],
+              idx_y[:, None, :, None], idx_x[:, None, None, :]]

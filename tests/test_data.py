@@ -53,3 +53,25 @@ def test_patchify_roundtrip():
     p = patchify(jnp.asarray(x), 4)
     back = unpatchify(p, 4, (3, 32, 32))
     assert np.abs(np.asarray(back) - x).max() < 1e-7
+
+
+def test_native_pipeline_matches_numpy():
+    """The C++ fused pipeline must produce bit-identical batches."""
+    import pytest
+
+    from kanvit.data import native
+
+    if not native.available():
+        pytest.skip("native dataloader not built")
+    x = np.random.rand(128, 3, 32, 32).astype(np.float32)
+    y = np.arange(128, dtype=np.int32)
+    for aug in (False, True):
+        a = DataPipeline(x, y, 64, shuffle=True, augment=aug,
+                         normalize_stats=(CIFAR100_MEAN, CIFAR100_STD),
+                         seed=3, backend="numpy")
+        b = DataPipeline(x, y, 64, shuffle=True, augment=aug,
+                         normalize_stats=(CIFAR100_MEAN, CIFAR100_STD),
+                         seed=3, backend="native")
+        for (xa, ya), (xb, yb) in zip(a, b):
+            assert np.array_equal(ya, yb)
+            assert np.abs(xa - xb).max() < 1e-6
