@@ -47,8 +47,8 @@ def _round_up(x: int, m: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc, m_scr, l_scr, *, scale,
-                tk, bq, bk, causal, qk_len_diff):
+def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc, m_scr, l_scr,
+                *, scale, tk, bq, bk, causal, qk_len_diff):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -65,7 +65,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc, m_scr, l_scr, *, 
     ) * scale  # (bq, bk)
 
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    key_valid = kpos < tk
+    key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
     s = jnp.where(key_valid, s, NEG_INF)
     if causal:
         i = pl.program_id(1)
@@ -105,8 +105,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc, m_scr, l_scr, *, 
         l_ref[0] = l.reshape(1, -1)
 
 
-def _fwd_pallas(q, k, v, causal, bq, bk, scale, tk, qk_len_diff):
-    """q: (BH, TQp, Dp); k, v: (BH, TKp, Dp). Returns (o, lse)."""
+def _fwd_pallas(q, k, v, mask, h, causal, bq, bk, scale, tk, qk_len_diff):
+    """q: (BH, TQp, Dp); k, v: (BH, TKp, Dp); mask: (B, 1, TKp) f32.
+    Returns (o, m, l)."""
     bh, tqp, dp = q.shape
     tkp = k.shape[1]
     nq, nk = tqp // bq, tkp // bk
@@ -125,6 +126,8 @@ def _fwd_pallas(q, k, v, causal, bq, bk, scale, tk, qk_len_diff):
             pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bk, dp), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda b, i, j, _h=h: (b // _h, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
@@ -145,15 +148,15 @@ def _fwd_pallas(q, k, v, causal, bq, bk, scale, tk, qk_len_diff):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=dispatch.interpret_mode(),
-    )(q, k, v)
+    )(q, k, v, mask)
 
 
 # ---------------------------------------------------------------------------
 # Backward kernels
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, dq_ref, acc,
-                   *, scale, tk, bq, bk, causal, qk_len_diff):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_ref,
+                   dq_ref, acc, *, scale, tk, bq, bk, causal, qk_len_diff):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -173,7 +176,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, dq_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    key_valid = kpos < tk
+    key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
     if causal:
         i = pl.program_id(1)
         qpos = i * bq - qk_len_diff + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -201,7 +204,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, dq_ref,
         dq_ref[0] = acc[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc,
                     *, scale, tk, bq, bk, causal, qk_len_diff):
     i = pl.program_id(2)  # q-block index (innermost)
@@ -225,7 +228,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    key_valid = kpos < tk
+    key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
     if causal:
         qpos = i * bq - qk_len_diff + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         s = jnp.where(qpos >= kpos, s, NEG_INF)
@@ -270,13 +273,21 @@ def _pad3(x, t_to, d_to):
     return jnp.pad(x, ((0, 0), (0, t_to - x.shape[1]), (0, d_to - x.shape[2])))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, causal, q_block, k_block):
-    o, _, _, _ = _flash_fwd_impl(q, k, v, causal, q_block, k_block)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, mask, causal, q_block, k_block):
+    o, _, _, _ = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block)
     return o
 
 
-def _flash_fwd_impl(q, k, v, causal, q_block, k_block):
+def _mask3(mask, b, tk, tkp):
+    """(B, Tk) bool/float -> (B, 1, TKp) f32 (1.0 = attend)."""
+    if mask is None:
+        return jnp.ones((b, 1, tkp), jnp.float32)
+    m = mask.astype(jnp.float32).reshape(b, 1, tk)
+    return jnp.pad(m, ((0, 0), (0, 0), (0, tkp - tk)))
+
+
+def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk, tqp, tkp, dp = _plan(tq, tk, d, q_block, k_block)
@@ -284,9 +295,10 @@ def _flash_fwd_impl(q, k, v, causal, q_block, k_block):
     qf = _pad3(q.reshape(b * h, tq, d), tqp, dp)
     kf = _pad3(k.reshape(b * h, tk, d), tkp, dp)
     vf = _pad3(v.reshape(b * h, tk, d), tkp, dp)
+    maskf = _mask3(mask, b, tk, tkp)
 
     o, m, l = _fwd_pallas(
-        qf, kf, vf, causal, bq, bk, d**-0.5, tk, max(tk - tq, 0)
+        qf, kf, vf, maskf, h, causal, bq, bk, d**-0.5, tk, max(tk - tq, 0)
     )
     o = o[:, :tq, :d].reshape(b, h, tq, d)
     m = m[:, 0, :tq].reshape(b, h, tq)
@@ -295,13 +307,13 @@ def _flash_fwd_impl(q, k, v, causal, q_block, k_block):
     return o, lse, m, l
 
 
-def _flash_fwd(q, k, v, causal, q_block, k_block):
-    o, _, m, l = _flash_fwd_impl(q, k, v, causal, q_block, k_block)
-    return o, (q, k, v, o, m, l)
+def _flash_fwd(q, k, v, mask, causal, q_block, k_block):
+    o, _, m, l = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block)
+    return o, (q, k, v, mask, o, m, l)
 
 
 def _flash_bwd(causal, q_block, k_block, res, do):
-    q, k, v, o, m, l = res
+    q, k, v, mask, o, m, l = res
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk, tqp, tkp, dp = _plan(tq, tk, d, q_block, k_block)
@@ -324,6 +336,7 @@ def _flash_bwd(causal, q_block, k_block, res, do):
         constant_values=1.0,
     )
     deltaf = jnp.pad(delta.reshape(b * h, 1, tq), ((0, 0), (0, 0), (0, tqp - tq)))
+    maskf = _mask3(mask, b, tk, tkp)
 
     bh = b * h
     kw = dict(scale=scale, tk=tk, bq=bq, bk=bk, causal=causal, qk_len_diff=qk_len_diff)
@@ -339,6 +352,8 @@ def _flash_bwd(causal, q_block, k_block, res, do):
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq), lambda b, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda b, i, j, _h=h: (b // _h, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, bq, dp), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
@@ -349,7 +364,7 @@ def _flash_bwd(causal, q_block, k_block, res, do):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=dispatch.interpret_mode(),
-    )(qf, kf, vf, dof, mf, lf, deltaf)
+    )(qf, kf, vf, dof, mf, lf, deltaf, maskf)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **kw),
@@ -362,6 +377,8 @@ def _flash_bwd(causal, q_block, k_block, res, do):
             pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bq), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda b, j, i, _h=h: (b // _h, 0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bk, dp), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
@@ -379,12 +396,13 @@ def _flash_bwd(causal, q_block, k_block, res, do):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=dispatch.interpret_mode(),
-    )(qf, kf, vf, dof, mf, lf, deltaf)
+    )(qf, kf, vf, dof, mf, lf, deltaf, maskf)
 
     dq = dq[:, :tq, :d].reshape(b, h, tq, d)
     dk = dk[:, :tk, :d].reshape(b, h, tk, d)
     dv = dv[:, :tk, :d].reshape(b, h, tk, d)
-    return dq, dk, dv
+    dmask = None if mask is None else jnp.zeros_like(mask, dtype=jnp.float32)
+    return dq, dk, dv, dmask
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -397,14 +415,16 @@ def flash_attention(
     causal: bool = False,
     q_block: int = 512,
     k_block: int = 1024,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Flash attention over ``(B, H, T, D)`` tensors.
 
     Pallas kernel on TPU; pure-JAX blocked reference elsewhere (identical
     online-softmax math, autodiff backward). ``q_block``/``k_block`` mirror
     the reference's ``q_bucket_size``/``k_bucket_size`` knobs
-    (reference ``attention.py:21-22``).
+    (reference ``attention.py:21-22``); ``mask`` is the reference's optional
+    ``(B, Tk)`` key-padding mask (True = attend, ``utils.py:154-164``).
     """
     if dispatch.use_pallas():
-        return _flash(q, k, v, causal, q_block, k_block)
-    return flash_attention_reference(q, k, v, causal, q_block, k_block)[0]
+        return _flash(q, k, v, mask, causal, q_block, k_block)
+    return flash_attention_reference(q, k, v, causal, q_block, k_block, mask)[0]

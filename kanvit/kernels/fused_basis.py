@@ -487,7 +487,7 @@ def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
             base_weight, base_bias,
         )
     # LayerNorm stays outside the custom VJP: XLA fuses and differentiates it.
-    ln = K.layernorm(xf, ln_gamma, ln_beta)
+    ln = xf if ln_gamma is None else K.layernorm(xf, ln_gamma, ln_beta)
     w3d = spline_weight.reshape(out, nin, ng).transpose(2, 1, 0)
     y = _rbf_op(ln, w3d, rbf_grid.reshape(1, -1), ng, float(rbf_denominator))
     if base_weight is not None:

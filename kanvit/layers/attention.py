@@ -116,6 +116,7 @@ class FlashAttentionBlock(nn.Module):
         self,
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
         q_bucket_size: Optional[int] = None,
         k_bucket_size: Optional[int] = None,
     ) -> jnp.ndarray:
@@ -143,6 +144,7 @@ class FlashAttentionBlock(nn.Module):
             causal=self.causal,
             q_block=qb,
             k_block=kb,
+            mask=mask,
         )  # (B, H, T, dh)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
         return TorchLinear(inner, self.dim, use_bias=False, name="to_out")(out)

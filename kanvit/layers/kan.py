@@ -186,29 +186,20 @@ class FastKANLayer(nn.Module):
             self.base_weight = None
             self.base_bias = None
 
-    def __call__(self, x):
+    def __call__(self, x, time_benchmark: bool = False):
+        # time_benchmark skips the layernorm (reference fastkan.py:66-70)
+        ln_w = None if time_benchmark else self.ln_weight
+        ln_b = None if time_benchmark else self.ln_bias
         if dispatch.use_pallas():
             from kanvit.kernels import fused_basis
 
             return fused_basis.fastkan(
-                x,
-                self.ln_weight,
-                self.ln_bias,
-                self.rbf_grid,
-                self.denominator,
-                self.spline_weight,
-                self.base_weight,
-                self.base_bias,
+                x, ln_w, ln_b, self.rbf_grid, self.denominator,
+                self.spline_weight, self.base_weight, self.base_bias,
             )
         return K.fastkan_forward(
-            x,
-            self.ln_weight,
-            self.ln_bias,
-            self.rbf_grid,
-            self.denominator,
-            self.spline_weight,
-            self.base_weight,
-            self.base_bias,
+            x, ln_w, ln_b, self.rbf_grid, self.denominator,
+            self.spline_weight, self.base_weight, self.base_bias,
         )
 
 

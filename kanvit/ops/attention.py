@@ -48,6 +48,7 @@ def flash_attention_reference(
     causal: bool = False,
     q_block: int = 512,
     k_block: int = 1024,
+    mask: jnp.ndarray | None = None,
 ):
     """Blocked online-softmax attention; returns ``(o, lse)``.
 
@@ -58,7 +59,9 @@ def flash_attention_reference(
     (reference ``utils.py:10,206``). ``q_block``/``k_block`` play the role of
     the reference's ``q_bucket_size``/``k_bucket_size``.
 
-    Shapes: ``q`` ``(B, H, Tq, D)``; ``k, v`` ``(B, H, Tk, D)``.
+    Shapes: ``q`` ``(B, H, Tq, D)``; ``k, v`` ``(B, H, Tk, D)``;
+    optional key mask ``(B, Tk)`` bool (True = attend), the reference's
+    ``b n -> b 1 1 n`` semantics (``utils.py:154-164``).
     """
     orig_dtype = q.dtype
     q, k, v = (t.astype(jnp.float32) for t in (q, k, v))
@@ -75,6 +78,8 @@ def flash_attention_reference(
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    if mask is not None:
+        maskp = jnp.pad(mask.astype(bool), ((0, 0), (0, pk)))
     nq, nk = qp.shape[2] // q_block, kp.shape[2] // k_block
 
     k_tiles = kp.reshape(b, h, nk, k_block, d)
@@ -90,6 +95,9 @@ def flash_attention_reference(
             s = jnp.einsum("bhid,bhjd->bhij", qc, kc) * scale
             kpos = ki * k_block + jnp.arange(k_block)
             key_valid = (kpos < tk)[None, None, None, :]
+            if mask is not None:
+                mc = jax.lax.dynamic_slice_in_dim(maskp, ki * k_block, k_block, 1)
+                key_valid = key_valid & mc[:, None, None, :]
             s = jnp.where(key_valid, s, neg)
             if causal:
                 qpos = q_start + jnp.arange(q_block)

@@ -244,7 +244,9 @@ def fastkan_forward(
 
     LayerNorm (inside the layer, a fast-kan signature move) → RBF expansion →
     flatten → ``spline_weight (out, in*num_grids)`` matmul; plus base branch
-    ``silu(x) @ base_weight.T + base_bias`` when enabled.
+    ``silu(x) @ base_weight.T + base_bias`` when enabled. ``ln_gamma=None``
+    skips the layernorm (the reference's ``time_benchmark`` flag,
+    ``fastkan.py:66-70``).
     """
     lead = x.shape[:-1]
     in_features = x.shape[-1]
@@ -252,7 +254,7 @@ def fastkan_forward(
     num_grids = rbf_grid.shape[0]
     out_features = spline_weight.shape[0]
 
-    ln = layernorm(xf, ln_gamma, ln_beta)
+    ln = xf if ln_gamma is None else layernorm(xf, ln_gamma, ln_beta)
     basis = rbf_bases(ln, rbf_grid, rbf_denominator)  # (N, in, G)
     ret = basis.reshape(-1, in_features * num_grids) @ spline_weight.T
     if base_weight is not None:

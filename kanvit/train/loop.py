@@ -147,14 +147,22 @@ def run(cfg: TrainConfig) -> dict:
     def put(x):
         return jax.device_put(x, data_shard)
 
+    try:  # progress bars like the reference (train.py:26,31,64)
+        from tqdm import tqdm, trange
+    except ImportError:  # pragma: no cover
+        tqdm = lambda it, **kw: it  # noqa: E731
+        trange = range
+
     summary = {}
     total_images = 0
     train_t0 = time.perf_counter()
-    for epoch in range(cfg.epochs):
+    for epoch in trange(cfg.epochs, desc="train"):
         losses, logit_buf, label_buf = [], [], []
         t0 = time.perf_counter()
         n_batches = 0
-        for bi, (x, y) in enumerate(train_pipe):
+        for bi, (x, y) in enumerate(
+            tqdm(train_pipe, desc=f"Epoch {epoch + 1} in training", leave=False)
+        ):
             if cfg.limit_train_batches and bi >= cfg.limit_train_batches:
                 break
             state, loss, logits = train_step(state, put(x), put(y))
@@ -198,7 +206,7 @@ def run(cfg: TrainConfig) -> dict:
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
     losses, logit_buf, label_buf = [], [], []
-    for bi, (x, y) in enumerate(test_pipe):
+    for bi, (x, y) in enumerate(tqdm(test_pipe, desc="Testing")):
         if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
             break
         loss, logits = eval_step(state, put(x), put(y))

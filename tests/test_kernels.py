@@ -141,3 +141,26 @@ def test_fused_cheby(x):
     f_ref = lambda x, c: K.chebykan_forward(x, c)
     assert np.abs(np.asarray(f_pal(x, cc) - f_ref(x, cc))).max() < 1e-5
     _check_grads(f_pal, f_ref, (x, cc))
+
+
+def test_flash_attention_kernel_masked():
+    from kanvit.kernels.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(8)
+    kq, kk, kv, km = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (2, 2, 20, 8))
+    k = jax.random.normal(kk, (2, 2, 24, 8))
+    v = jax.random.normal(kv, (2, 2, 24, 8))
+    mask = jax.random.uniform(km, (2, 24)) > 0.3
+    o = flash_attention(q, k, v, False, 16, 16, mask=mask)
+    ref, _ = flash_attention_reference(q, k, v, False, 16, 16, mask=mask)
+    assert np.abs(np.asarray(o - ref)).max() < 1e-5
+    # grads through the mask path
+    f_pal = lambda q, k, v: (flash_attention(q, k, v, False, 16, 16, mask=mask) ** 2).sum()
+    f_ref = lambda q, k, v: (
+        flash_attention_reference(q, k, v, False, 16, 16, mask=mask)[0] ** 2
+    ).sum()
+    gp = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gr):
+        assert np.abs(np.asarray(a - b)).max() < 1e-4
