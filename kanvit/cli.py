@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--d-hidden", type=int, default=64, help="hidden dimension of transformer block")
     p.add_argument("--n-heads", type=int, default=8, help="number of attention heads")
     p.add_argument("--log-dir", type=str, default="logs", help="directory to store logs")
+    p.add_argument("--device", type=str, default=None,
+                   help="backend to use (tpu/cpu); default: auto-select "
+                        "(mirrors the reference's --device flag)")
     # kanvit extensions
     p.add_argument("--dataset", type=str, default="cifar100",
                    choices=("mnist", "cifar100", "synthetic"))
@@ -46,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
     cfg = TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,
