@@ -147,6 +147,10 @@ def run(cfg: TrainConfig) -> dict:
     def put(x):
         return jax.device_put(x, data_shard)
 
+    def put_batch(batch):
+        x, y = batch
+        return jax.device_put(x, data_shard), jax.device_put(y, data_shard)
+
     try:  # progress bars like the reference (train.py:26,31,64)
         from tqdm import tqdm, trange
     except ImportError:  # pragma: no cover
@@ -160,12 +164,16 @@ def run(cfg: TrainConfig) -> dict:
         losses, logit_buf, label_buf = [], [], []
         t0 = time.perf_counter()
         n_batches = 0
+        from kanvit.data.prefetch import prefetch
+
+        batches = prefetch(train_pipe, transform=put_batch)
         for bi, (x, y) in enumerate(
-            tqdm(train_pipe, desc=f"Epoch {epoch + 1} in training", leave=False)
+            tqdm(batches, desc=f"Epoch {epoch + 1} in training",
+                 total=len(train_pipe), leave=False)
         ):
             if cfg.limit_train_batches and bi >= cfg.limit_train_batches:
                 break
-            state, loss, logits = train_step(state, put(x), put(y))
+            state, loss, logits = train_step(state, x, y)
             losses.append(loss)
             logit_buf.append(logits)
             label_buf.append(y)

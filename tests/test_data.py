@@ -75,3 +75,20 @@ def test_native_pipeline_matches_numpy():
         for (xa, ya), (xb, yb) in zip(a, b):
             assert np.array_equal(ya, yb)
             assert np.abs(xa - xb).max() < 1e-6
+
+
+def test_prefetch_preserves_order_and_errors():
+    from kanvit.data.prefetch import prefetch
+
+    assert list(prefetch(range(10), transform=lambda x: x * 2)) == list(range(0, 20, 2))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    import pytest
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
