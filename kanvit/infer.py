@@ -1,0 +1,127 @@
+"""Inference: a jit-compiled batched Predictor + a small prediction CLI.
+
+The reference has no inference path at all (training script only); kanvit
+adds one as part of being a complete framework: load a checkpoint, classify
+in fixed-size jitted batches (ragged tails padded, never recompiled), return
+logits / probabilities / labels.
+
+CLI: ``python -m kanvit.infer --model-type X --ckpt-dir ckpts --dataset mnist``
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class Predictor:
+    """Batched, fixed-shape, jit-compiled classifier."""
+
+    model: object
+    params: dict
+    batch_size: int = 256
+
+    def __post_init__(self):
+        self._apply = jax.jit(
+            lambda params, x: self.model.apply({"params": params}, x)
+        )
+
+    def logits(self, images: np.ndarray) -> np.ndarray:
+        """``(N, C, H, W) -> (N, out_d)`` — tail batch zero-padded so every
+        call hits the same compiled program."""
+        n = images.shape[0]
+        out = []
+        for lo in range(0, n, self.batch_size):
+            chunk = images[lo : lo + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
+                )
+            y = self._apply(self.params, jnp.asarray(chunk))
+            out.append(np.asarray(y[: self.batch_size - pad]))
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    def predict(self, images: np.ndarray):
+        """Returns ``(labels (N,), probabilities (N, out_d))``."""
+        z = self.logits(images).astype(np.float64)
+        z = z - z.max(-1, keepdims=True)
+        probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
+        return probs.argmax(-1), probs
+
+
+def load_predictor(
+    model_type: str,
+    ckpt_dir: str,
+    *,
+    chw=(1, 28, 28),
+    n_patches=7,
+    n_blocks=8,
+    d_hidden=64,
+    n_heads=8,
+    out_d=10,
+    batch_size=256,
+) -> Predictor:
+    from kanvit.models import create_model
+    from kanvit.train.checkpoint import latest_checkpoint, restore_checkpoint
+    from kanvit.train.state import create_train_state
+
+    model = create_model(
+        model_type, chw=chw, n_patches=n_patches, n_blocks=n_blocks,
+        d_hidden=d_hidden, n_heads=n_heads, out_d=out_d,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, *chw), jnp.float32)
+    )
+    path = latest_checkpoint(ckpt_dir)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    state = restore_checkpoint(path, state)
+    return Predictor(model, state.params, batch_size)
+
+
+def main(argv=None):
+    from kanvit.data.datasets import load_dataset
+    from kanvit.train.loop import _dataset_model_config
+    from kanvit.train.metrics import calculate_metrics
+
+    p = argparse.ArgumentParser(description="kanvit inference")
+    p.add_argument("--model-type", default="vanilla")
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--dataset", default="mnist",
+                   choices=("mnist", "cifar100", "synthetic"))
+    p.add_argument("--data-dir", default=None)
+    p.add_argument("--n-blocks", type=int, default=8)
+    p.add_argument("--d-hidden", type=int, default=64)
+    p.add_argument("--n-heads", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--out", default=None, help="write predictions npz here")
+    args = p.parse_args(argv)
+
+    x, y, num_classes = load_dataset(args.dataset, args.data_dir, train=False)
+    mcfg = _dataset_model_config(args.dataset)
+    pred = load_predictor(
+        args.model_type, args.ckpt_dir,
+        chw=tuple(x.shape[1:]), n_patches=mcfg["n_patches"],
+        n_blocks=args.n_blocks, d_hidden=args.d_hidden,
+        n_heads=args.n_heads, out_d=num_classes, batch_size=args.batch_size,
+    )
+    labels, probs = pred.predict(x)
+    acc, bal, f1, auc = calculate_metrics(y, labels, probs, num_classes)
+    print(json.dumps({
+        "accuracy": round(acc, 4), "balanced_accuracy": round(bal, 4),
+        "f1": round(f1, 4), "roc_auc": round(auc, 4), "n": int(len(y)),
+    }))
+    if args.out:
+        np.savez_compressed(args.out, labels=labels, probs=probs, y_true=y)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,3 +71,22 @@ def test_bf16_policy_trains(tmp_path):
 def test_kan_variants_train(tmp_path, variant):
     summary = run(_cfg(tmp_path, epochs=1, model_type=variant))
     assert np.isfinite(summary["train_loss"])
+
+
+def test_inference_predictor_roundtrip(tmp_path):
+    """Train briefly, checkpoint, reload through the inference path."""
+
+    cfg = _cfg(tmp_path, epochs=1, ckpt_dir=str(tmp_path / "ck"))
+    run(cfg)
+
+    from kanvit.infer import load_predictor
+
+    pred = load_predictor(
+        "vanilla", str(tmp_path / "ck"), chw=(1, 28, 28), n_patches=7,
+        n_blocks=1, d_hidden=32, n_heads=2, out_d=10, batch_size=64,
+    )
+    x = np.random.rand(100, 1, 28, 28).astype(np.float32)
+    labels, probs = pred.predict(x)
+    assert labels.shape == (100,)
+    assert probs.shape == (100, 10)
+    assert np.allclose(probs.sum(-1), 1.0, atol=1e-6)
