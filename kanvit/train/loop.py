@@ -144,12 +144,17 @@ def run(cfg: TrainConfig) -> dict:
     train_step = make_train_step(bf16=cfg.bf16)
     eval_step = make_eval_step(bf16=cfg.bf16)
 
+    # Compile ahead of the pipelined loop (compilation mid-epoch would
+    # serialize against the in-flight H2D lookahead transfers).
+    sample_x = jax.device_put(jnp.zeros((cfg.batch_size, *chw), jnp.float32), data_shard)
+    sample_y = jax.device_put(jnp.zeros((cfg.batch_size,), jnp.int32), data_shard)
+    t0 = time.perf_counter()
+    train_step = train_step.lower(state, sample_x, sample_y).compile()
+    eval_step = eval_step.lower(state, sample_x, sample_y).compile()
+    log.info("compiled train/eval steps in %.1fs", time.perf_counter() - t0)
+
     def put(x):
         return jax.device_put(x, data_shard)
-
-    def put_batch(batch):
-        x, y = batch
-        return jax.device_put(x, data_shard), jax.device_put(y, data_shard)
 
     try:  # progress bars like the reference (train.py:26,31,64)
         from tqdm import tqdm, trange
@@ -164,9 +169,14 @@ def run(cfg: TrainConfig) -> dict:
         losses, logit_buf, label_buf = [], [], []
         t0 = time.perf_counter()
         n_batches = 0
-        from kanvit.data.prefetch import prefetch
+        from kanvit.data.prefetch import lookahead, prefetch
 
-        batches = prefetch(train_pipe, transform=put_batch)
+        # Host-side batch prep (augmentation) runs ahead in a thread; H2D
+        # transfers are issued several batches ahead on the main thread
+        # (device_put is async — keeps copies in flight under the steps).
+        batches = lookahead(
+            prefetch(train_pipe), lambda b: (put(b[0]), put(b[1]))
+        )
         for bi, (x, y) in enumerate(
             tqdm(batches, desc=f"Epoch {epoch + 1} in training",
                  total=len(train_pipe), leave=False)
