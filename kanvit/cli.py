@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "(mirrors the reference's --device flag)")
     # kanvit extensions
     p.add_argument("--dataset", type=str, default="cifar100",
-                   choices=("mnist", "cifar100", "synthetic"))
+                   choices=("mnist", "cifar100", "digits", "synthetic"))
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute policy")

@@ -27,7 +27,7 @@ from typing import Tuple
 
 import numpy as np
 
-DATASETS = ("mnist", "cifar100", "synthetic")
+DATASETS = ("mnist", "cifar100", "digits", "synthetic")
 
 _DEFAULT_ROOTS = (".", "./data", "./cifar100", "./mnist", "/root/data")
 
@@ -116,6 +116,25 @@ def load_synthetic(
     return np.clip(x, 0.0, 1.0), y
 
 
+def load_digits_dataset(train: bool = True, upscale: int = 4):
+    """sklearn's bundled 8x8 digits (1,797 samples, 10 classes) — the one
+    real image dataset available without network access. Nearest-neighbor
+    upscaled (kron) to ``(1, 8*upscale, 8*upscale)`` so the standard ViT
+    patch geometries apply. Deterministic 80/20 split."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    x = (d.images / 16.0).astype(np.float32)[:, None]  # (N, 1, 8, 8) in [0,1]
+    if upscale > 1:
+        x = np.kron(x, np.ones((1, 1, upscale, upscale), np.float32))
+    y = d.target.astype(np.int32)
+    rng = np.random.default_rng(0)
+    order = rng.permutation(len(x))
+    split = int(0.8 * len(x))
+    idx = order[:split] if train else order[split:]
+    return x[idx], y[idx]
+
+
 def load_dataset(
     name: str,
     root: str | None = None,
@@ -143,6 +162,9 @@ def load_dataset(
             log.warning("%s — falling back to synthetic CIFAR-shaped data", e)
             x, y = load_synthetic((3, 32, 32), 100, train=train)
             return x, y, 100
+    if name == "digits":
+        x, y = load_digits_dataset(train)
+        return x, y, 10
     if name == "synthetic":
         chw = synthetic_chw or (1, 28, 28)
         nc = num_classes or 10

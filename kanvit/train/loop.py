@@ -65,6 +65,8 @@ def _dataset_model_config(dataset: str):
     from the ctor defaults (``model.py:49``)."""
     if dataset == "cifar100":
         return dict(chw=(3, 32, 32), n_patches=4, out_d=100)
+    if dataset == "digits":
+        return dict(chw=(1, 32, 32), n_patches=4, out_d=10)
     return dict(chw=(1, 28, 28), n_patches=7, out_d=10)
 
 
