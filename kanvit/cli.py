@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel shards (devices split as data x model)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of the test pass here")
+    p.add_argument("--h2d-lookahead", type=int, default=0,
+                   help="pipeline H2D transfers N batches ahead (0=off)")
     p.add_argument("--limit-train-batches", type=int, default=None)
     p.add_argument("--limit-eval-batches", type=int, default=None)
     return p
@@ -70,6 +72,7 @@ def main(argv=None) -> dict:
         resume=args.resume,
         n_model_shards=args.n_model_shards,
         profile_dir=args.profile_dir,
+        h2d_lookahead=args.h2d_lookahead,
         limit_train_batches=args.limit_train_batches,
         limit_eval_batches=args.limit_eval_batches,
     )

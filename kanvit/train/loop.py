@@ -56,6 +56,11 @@ class TrainConfig:
     resume: bool = False
     n_model_shards: int = 1
     profile_dir: str | None = None
+    # H2D transfer lookahead depth (0 = off). device_put is async, so
+    # issuing transfers ahead pipelines copies under executing steps on
+    # standard PCIe hosts; disabled by default because tunneled transports
+    # (e.g. remote-TPU dev setups) can wedge with many in-flight transfers.
+    h2d_lookahead: int = 0
     limit_train_batches: int | None = None
     limit_eval_batches: int | None = None
 
@@ -103,9 +108,15 @@ def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
 
 
 def _epoch_metrics(losses, logits_list, labels_list, num_classes):
-    losses = np.asarray(jax.device_get(losses))
-    logits = np.concatenate([np.asarray(jax.device_get(l)) for l in logits_list])
-    labels = np.concatenate(labels_list)
+    # Aggregate on device, then ONE bulk D2H transfer per epoch (fetching
+    # hundreds of small per-step outputs individually is both slow and, on
+    # tunneled device transports, unreliable).
+    losses, logits = jax.device_get(
+        (jnp.stack(losses), jnp.concatenate(logits_list))
+    )
+    losses = np.asarray(losses)
+    logits = np.asarray(logits)
+    labels = np.concatenate([np.asarray(y) for y in labels_list])
     preds = logits.argmax(-1)
     # softmax on host, f64 for a stable AUC
     z = logits.astype(np.float64) - logits.max(-1, keepdims=True)
@@ -173,12 +184,15 @@ def run(cfg: TrainConfig) -> dict:
         n_batches = 0
         from kanvit.data.prefetch import lookahead, prefetch
 
-        # Host-side batch prep (augmentation) runs ahead in a thread; H2D
-        # transfers are issued several batches ahead on the main thread
-        # (device_put is async — keeps copies in flight under the steps).
-        batches = lookahead(
-            prefetch(train_pipe), lambda b: (put(b[0]), put(b[1]))
-        )
+        # Host-side batch prep (augmentation) runs ahead in a thread;
+        # optionally issue H2D transfers several batches ahead too.
+        batches = prefetch(train_pipe)
+        if cfg.h2d_lookahead > 0:
+            batches = lookahead(
+                batches, lambda b: (put(b[0]), put(b[1])), cfg.h2d_lookahead
+            )
+        else:
+            batches = ((put(x), put(y)) for x, y in batches)
         for bi, (x, y) in enumerate(
             tqdm(batches, desc=f"Epoch {epoch + 1} in training",
                  total=len(train_pipe), leave=False)
