@@ -22,9 +22,21 @@ import jax
 import jax.numpy as jnp
 
 
+# Model geometry presets: "reference" is the reference's MNIST ctor config
+# (model.py:49); "vit-s" is a production-scale stress config (ViT-Small-ish,
+# 196 tokens, d=384) far beyond anything the reference can express.
+PRESETS = {
+    "reference": dict(chw=(1, 28, 28), n_patches=7, n_blocks=4,
+                      d_hidden=64, n_heads=2, out_d=10),
+    "vit-s": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
+                  d_hidden=384, n_heads=6, out_d=1000),
+}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="efficientkan")
+    p.add_argument("--preset", default="reference", choices=sorted(PRESETS))
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
@@ -35,16 +47,17 @@ def main():
     from kanvit.train.state import create_train_state
     from kanvit.train.steps import make_train_step
 
-    model = create_model(
-        args.model_type, chw=(1, 28, 28), n_patches=7, n_blocks=4,
-        d_hidden=64, n_heads=2, out_d=10,
-    )
+    geom = PRESETS[args.preset]
+    model = create_model(args.model_type, **geom)
+    chw = geom["chw"]
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(model, rng, jnp.zeros((1, 1, 28, 28)))
+    state = create_train_state(model, rng, jnp.zeros((1, *chw)))
     step = make_train_step(bf16=args.bf16)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, 1, 28, 28))
-    y = jax.random.randint(jax.random.PRNGKey(2), (args.batch_size,), 0, 10)
+    x = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, *chw))
+    y = jax.random.randint(
+        jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
+    )
 
     for _ in range(args.warmup):
         state, loss, _ = step(state, x, y)
@@ -65,14 +78,15 @@ def main():
         "benchmarks", "reference_baseline.json",
     )
     vs = None
-    if os.path.exists(baseline_path):
+    if args.preset == "reference" and os.path.exists(baseline_path):
         with open(baseline_path) as f:
             ref = json.load(f)["images_per_sec"].get(args.model_type)
         if ref:
             vs = round(ips / ref, 2)
 
+    name = "mnist" if args.preset == "reference" else args.preset
     print(json.dumps({
-        "metric": f"mnist_{args.model_type}_train_images_per_sec_per_chip",
+        "metric": f"{name}_{args.model_type}_train_images_per_sec_per_chip",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": vs,

@@ -72,6 +72,12 @@ def flash_attention_reference(
     neg = jnp.finfo(jnp.float32).min
     qk_len_diff = max(tk - tq, 0)
 
+    # Never tile wider than the (8-aligned) sequence itself — the online
+    # softmax is block-size invariant, and padding 17-token sequences to a
+    # 512 bucket would be pure waste.
+    q_block = min(q_block, -(-tq // 8) * 8)
+    k_block = min(k_block, -(-tk // 8) * 8)
+
     # Pad sequence dims to block multiples; padded keys are masked out.
     pq = (-tq) % q_block
     pk = (-tk) % k_block
