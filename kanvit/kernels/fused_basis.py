@@ -47,18 +47,32 @@ from jax.experimental.pallas import tpu as pltpu
 from kanvit.ops import dispatch
 from kanvit.ops import kan_bases as K
 
-# Engage the kernel only when fusing actually saves HBM traffic.
-_MIN_ROWS = 512
-_MIN_FEATURES = 512
-_ROW_BLOCK = 256
+# Dispatch policy (measurement-driven, benchmarks/kernel_ab.py on v5e):
+# the KAN basis ops are *transcendental-bound* (VPU), not HBM-bound, at every
+# size this framework reaches (the basis tensor round trip is ~1.6ms of HBM
+# time vs ~4ms of VPU sin/cos at the largest embedder shape), so XLA's fused
+# jnp path already sits at the roofline and the Pallas kernels tie or lose
+# by block-orchestration overhead. "auto" therefore uses the jnp path;
+# KANVIT_IMPL=pallas forces the kernels (used by tests, and the escape hatch
+# on hardware where XLA's fusion regresses).
+# VMEM live-set budget for picking the row block. Mosaic keeps the unrolled
+# per-g temporaries on its scoped stack, so the working set scales with
+# ng * bn * in; v5e scoped VMEM is 16MB.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_row_block(nin: int, out: int, ng: int, n_temps: int) -> int:
+    """Largest row block (multiple of 8, <=256) whose unrolled live set
+    (~n_temps arrays of (bn, in) f32 per g step, plus weights and the dw
+    scratch) fits the budget."""
+    fixed = 2 * ng * nin * out * 4  # w3d + dw accumulator
+    per_row = n_temps * ng * nin * 4
+    bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+    return int(max(8, min(256, (bn // 8) * 8)))
 
 
 def _should_fuse(n: int, f: int) -> bool:
-    if dispatch.get_impl() == "pallas":
-        return True
-    if not dispatch.use_pallas():
-        return False
-    return n >= _MIN_ROWS and f >= _MIN_FEATURES
+    return dispatch.get_impl() == "pallas"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -222,22 +236,23 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
 # Generic kernel template
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, family):
-    x_ref, w_ref, *extra_refs, y_ref = refs
+def _fwd_kernel(*refs, family, nin):
+    # Expand each basis slice into a flat (bn, ng*in) VMEM scratch, then one
+    # MXU matmul against the flat weight (F, out) — XLA's schedule for the
+    # jnp path, minus the HBM round trip for the basis tensor.
+    x_ref, w_ref, *extra_refs, y_ref, basis_scr = refs
     x = x_ref[:].astype(jnp.float32)
     ctx = family.setup(x, *extra_refs)
-    acc = jnp.zeros(y_ref.shape, jnp.float32)
     for gi in range(family.ng):
-        b_g = family.basis(ctx, gi)  # (bn, in)
-        acc += jax.lax.dot_general(
-            b_g, w_ref[gi].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    y_ref[:] = acc.astype(y_ref.dtype)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi)
+    y_ref[:] = jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
 
 
-def _bwd_kernel(*refs, family):
-    x_ref, w_ref, g_ref, *extra_refs, dx_ref, dw_ref, dw_acc = refs
+def _bwd_kernel(*refs, family, nin):
+    x_ref, w_ref, g_ref, *extra_refs, dx_ref, dw_ref, basis_scr, dw_acc = refs
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
@@ -248,18 +263,25 @@ def _bwd_kernel(*refs, family):
     x = x_ref[:].astype(jnp.float32)
     gout = g_ref[:].astype(jnp.float32)  # (bn, out)
     ctx = family.setup(x, *extra_refs)
+
+    # One matmul for gW = gout @ W^T (bn, F), then per-g elementwise reduce
+    # into dx using the closed-form basis derivatives; basis itself goes to
+    # the flat scratch for the dW matmul.
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F)
     dx = jnp.zeros(x.shape, jnp.float32)
     for gi in range(family.ng):
         b_g, db_g = family.basis_grad(ctx, gi)
-        dw_acc[gi] += jax.lax.dot_general(
-            b_g, gout, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (in, out)
-        gw = jax.lax.dot_general(
-            gout, w_ref[gi].astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bn, in)
-        dx += gw * db_g
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b_g
+        dx += gw[:, gi * nin : (gi + 1) * nin] * db_g
     dx_ref[:] = dx.astype(dx_ref.dtype)
+
+    dw_acc[:] += jax.lax.dot_general(
+        basis_scr[:], gout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (F, out)
 
     @pl.when(i == n_i - 1)
     def _finish():
@@ -284,24 +306,27 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
-    bn = min(_ROW_BLOCK, _round_up(n, 8))
+    f = ng * nin
+    bn = min(_pick_row_block(nin, out, ng, n_temps=2), _round_up(n, 8))
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    w2d = w3d.reshape(f, out)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, family=family),
+        functools.partial(_fwd_kernel, family=family, nin=nin),
         grid=(np_ // bn,),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
         out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, out), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, f), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xp, w3d, *extras)
+    )(xp, w2d, *extras)
     return y[:n]
 
 
@@ -309,34 +334,39 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     """Returns (dx (N, in), dw (ng, in, out))."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
-    bn = min(_ROW_BLOCK, _round_up(n, 8))
+    f = ng * nin
+    bn = min(_pick_row_block(nin, out, ng, n_temps=3), _round_up(n, 8))
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero g rows -> zero dw contrib
-    dx, dw = pl.pallas_call(
-        functools.partial(_bwd_kernel, family=family),
+    w2d = w3d.reshape(f, out)
+    dx, dw2d = pl.pallas_call(
+        functools.partial(_bwd_kernel, family=family, nin=nin),
         grid=(np_ // bn,),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
         out_specs=[
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ng, nin, out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
-            jax.ShapeDtypeStruct((ng, nin, out), w3d.dtype),
+            jax.ShapeDtypeStruct((f, out), w3d.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((ng, nin, out), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((bn, f), jnp.float32),
+            pltpu.VMEM((f, out), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xp, w3d, gp, *extras)
-    return dx[:n], dw
+    )(xp, w2d, gp, *extras)
+    return dx[:n], dw2d.reshape(ng, nin, out)
 
 
 # ---------------------------------------------------------------------------
