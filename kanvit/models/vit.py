@@ -46,6 +46,10 @@ class VisionTransformer(nn.Module):
     mapper_sine_grid: int = 28
     mapper_fourier_grid: int = 28
     mapper_cheby_degree: int = 4
+    # Gradient rematerialization: recompute block activations in the backward
+    # pass instead of storing them — trades FLOPs for HBM, the standard
+    # scaling lever for deep/large configs (no reference equivalent).
+    remat: bool = False
 
     def setup(self):
         if self.type not in VARIANTS:
@@ -82,15 +86,19 @@ class VisionTransformer(nn.Module):
         )
 
         if self.type == "flash-attn":
+            block_cls = (
+                nn.remat(FlashAttentionBlock) if self.remat else FlashAttentionBlock
+            )
             self.blocks = [
-                FlashAttentionBlock(
-                    dim=self.d_hidden, heads=self.n_heads, name=f"blocks_{i}"
-                )
+                block_cls(dim=self.d_hidden, heads=self.n_heads, name=f"blocks_{i}")
                 for i in range(self.n_blocks)
             ]
         else:
+            block_cls = (
+                nn.remat(TransformerBlock) if self.remat else TransformerBlock
+            )
             self.blocks = [
-                TransformerBlock(
+                block_cls(
                     d_model=self.d_hidden,
                     n_heads=self.n_heads,
                     feedforward_dim=4 * self.d_hidden,

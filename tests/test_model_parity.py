@@ -70,3 +70,27 @@ def test_unknown_variant_raises():
         import jax
 
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
+
+
+def test_remat_matches_no_remat():
+    """Rematerialized blocks must produce identical logits and grads."""
+    import jax
+    import optax
+
+    m1 = create_model("vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+                      d_hidden=32, n_heads=2, out_d=10)
+    m2 = create_model("vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+                      d_hidden=32, n_heads=2, out_d=10, remat=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 1, 28, 28))
+    y = jnp.zeros(4, jnp.int32)
+    params = m1.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(m, p):
+        logits = m.apply({"params": p}, x)
+        return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m2, p))(params)
+    assert np.allclose(float(l1), float(l2), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-5
