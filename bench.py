@@ -61,12 +61,13 @@ def main():
 
     for _ in range(args.warmup):
         state, loss, _ = step(state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)  # hard D2H sync — block_until_ready can return early on
+    # tunneled transports, silently under-measuring step time
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, loss, _ = step(state, x, y)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -3,10 +3,17 @@ from kanvit.ops import dispatch, kan_bases as K
 from kanvit.kernels import fused_basis as FB
 
 def bench(f, *args, n=30):
-    o = f(*args); jax.block_until_ready(o)
+    # hard D2H sync: block_until_ready can return early on tunneled
+    # transports. Chaining through eager ops is also wrong (forces
+    # round-trip transfers); dispatch-then-sync measures amortized
+    # device throughput.
+    def sync(o):
+        leaf = jax.tree.leaves(o)[0]
+        float(jnp.asarray(leaf).ravel()[0])
+    o = f(*args); sync(o)
     t0 = time.perf_counter()
     for _ in range(n): o = f(*args)
-    jax.block_until_ready(o)
+    sync(o)
     return (time.perf_counter()-t0)/n*1000
 
 key = jax.random.PRNGKey(0)

@@ -204,7 +204,9 @@ def run(cfg: TrainConfig) -> dict:
             logit_buf.append(logits)
             label_buf.append(y)
             n_batches += 1
-        jax.block_until_ready(state.params)
+        if losses:
+            float(losses[-1])  # hard sync (block_until_ready can lie on
+            # tunneled transports); one scalar D2H per epoch
         dt = time.perf_counter() - t0
         images = n_batches * cfg.batch_size
         total_images += images
