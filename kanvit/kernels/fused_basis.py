@@ -47,14 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 from kanvit.ops import dispatch
 from kanvit.ops import kan_bases as K
 
-# Dispatch policy (measurement-driven, benchmarks/kernel_ab.py on v5e):
-# the KAN basis ops are *transcendental-bound* (VPU), not HBM-bound, at every
-# size this framework reaches (the basis tensor round trip is ~1.6ms of HBM
-# time vs ~4ms of VPU sin/cos at the largest embedder shape), so XLA's fused
-# jnp path already sits at the roofline and the Pallas kernels tie or lose
-# by block-orchestration overhead. "auto" therefore uses the jnp path;
-# KANVIT_IMPL=pallas forces the kernels (used by tests, and the escape hatch
-# on hardware where XLA's fusion regresses).
+# Dispatch policy (measurement-driven, hard-sync A/B on v5e): the trig/RBF
+# families are transcendental-bound (VPU) — XLA's fused jnp path sits at the
+# roofline and the kernels tie or lose, so "auto" keeps jnp for them. The
+# B-spline family is mul/add-only and HBM-bound on its basis-level temps:
+# the kernel wins 1.6-2x at large N and, by never materializing the basis,
+# runs configs whose jnp path OOMs HBM (ViT-S efficientkan) — "auto" engages
+# it above a row threshold. KANVIT_IMPL=pallas forces every kernel.
 # VMEM live-set budget for picking the row block. Mosaic keeps the unrolled
 # per-g temporaries on its scoped stack, so the working set scales with
 # ng * bn * in; v5e scoped VMEM is 16MB.
@@ -71,8 +70,17 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int) -> int:
     return int(max(8, min(256, (bn // 8) * 8)))
 
 
-def _should_fuse(n: int, f: int) -> bool:
-    return dispatch.get_impl() == "pallas"
+def _should_fuse(n: int, f: int, family: str = "") -> bool:
+    if dispatch.get_impl() == "pallas":
+        return True
+    if not dispatch.use_pallas():
+        return False
+    # B-spline is the one mul/add-only (HBM-bound) family: the kernel wins
+    # ~1.6-1.7x at N >= 200k, ties around 50k, and — by never materializing
+    # the basis levels — runs configs whose jnp path OOMs HBM (ViT-S
+    # efficientkan). The trig/RBF families are transcendental-bound and the
+    # jnp path stays ahead at every measured size.
+    return family == "bspline" and n >= 32768
 
 
 def _round_up(x: int, m: int) -> int:
@@ -489,7 +497,7 @@ def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order
     out = base_weight.shape[0]
     xf = x.reshape(-1, nin)
     ng = spline_weight.shape[-1]  # grid_size + spline_order
-    if not _should_fuse(xf.shape[0], ng * nin):
+    if not _should_fuse(xf.shape[0], ng * nin, "bspline"):
         return K.bspline_kan_forward(
             x, grid, base_weight, spline_weight, spline_scaler, spline_order
         )
