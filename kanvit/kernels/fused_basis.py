@@ -76,11 +76,12 @@ def _should_fuse(n: int, f: int, family: str = "") -> bool:
     if not dispatch.use_pallas():
         return False
     # B-spline is the one mul/add-only (HBM-bound) family: the kernel wins
-    # ~1.6-1.7x at N >= 200k, ties around 50k, and — by never materializing
-    # the basis levels — runs configs whose jnp path OOMs HBM (ViT-S
-    # efficientkan). The trig/RBF families are transcendental-bound and the
-    # jnp path stays ahead at every measured size.
-    return family == "bspline" and n >= 32768
+    # ~1.6-1.7x at N >= 200k, ties around 25-50k, and — by never
+    # materializing the basis levels — runs configs whose jnp path OOMs HBM
+    # (ViT-S efficientkan at N=25216 per head). The trig/RBF families are
+    # transcendental-bound and the jnp path stays ahead at every measured
+    # size.
+    return family == "bspline" and n >= 16384
 
 
 def _round_up(x: int, m: int) -> int:
