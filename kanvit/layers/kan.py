@@ -14,7 +14,7 @@ SURVEY §2.9.1).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

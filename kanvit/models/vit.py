@@ -23,7 +23,6 @@ the ``cheby`` variant runs (shape-preserving ChebyKANLayer) and the
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from kanvit import VARIANTS
