@@ -430,7 +430,15 @@ def flash_attention(
     (reference ``attention.py:21-22``); ``mask`` is the reference's optional
     ``(B, Tk)`` key-padding mask (True = attend, ``utils.py:154-164``).
     """
-    long_seq = max(q.shape[2], k.shape[2]) >= MIN_PALLAS_SEQ
-    if dispatch.use_pallas() and (long_seq or dispatch.get_impl() == "pallas"):
+    tq, tk = q.shape[2], k.shape[2]
+    if dispatch.use_pallas() and (
+        max(tq, tk) >= MIN_PALLAS_SEQ or dispatch.get_impl() == "pallas"
+    ):
         return _flash(q, k, v, mask, causal, q_block, k_block)
+    if mask is None and (not causal or tq == tk):
+        # Short sequences: plain fused softmax attention — numerically the
+        # same online-softmax result, none of the blocking machinery.
+        from kanvit.ops.attention import multi_head_attention
+
+        return multi_head_attention(q, k, v, causal)
     return flash_attention_reference(q, k, v, causal, q_block, k_block, mask)[0]
