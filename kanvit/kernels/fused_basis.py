@@ -5,12 +5,12 @@ Every KAN variant computes ``y[n,o] = sum_{i,g} basis_g(x)[n,i] * W[g,i,o]``
 a weight tensor. Left to XLA, the ``(N, in*grid)`` basis tensor round-trips
 through HBM (with ``in*grid`` up to ~10k for the patch embedders it is the
 reference's memory hot spot — e.g. ``models/nfkan.py:44-48`` materializes an
-implicit ``(N, out, in, grid)`` product). These kernels compute each
-harmonic/knot slice ``basis_g(x) (bn, in)`` in VMEM and immediately feed the
-MXU with ``basis_g @ W[g]`` — one HBM pass over ``x`` and ``y``, the basis
-never touches HBM. The per-``g`` loop is a static unroll (grid sizes are
-4–56), so Mosaic sees straight-line VPU->MXU code and never needs the
-minor-dim reshapes it cannot lower.
+implicit ``(N, out, in, grid)`` product). These kernels expand each
+harmonic/knot slice ``basis_g(x) (bn, in)`` into a flat ``(bn, in*grid)``
+VMEM scratch (static per-g unroll — grid sizes are 4–56 — writing 2-D
+slices, since Mosaic cannot lower minor-dim reshapes) and contract it with
+one large MXU matmul: one HBM pass over ``x`` and ``y``, the basis never
+touches HBM.
 
 One kernel template serves all five families; each family contributes a
 ``Family`` with ``setup(x, extras) -> ctx`` plus per-g ``basis(ctx, gi)`` and
