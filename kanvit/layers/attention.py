@@ -51,6 +51,41 @@ def _head_projection_cls_and_kwargs(kind: str, d_head: int):
     raise ValueError(f"{kind} invalid. Please use a different argument.")
 
 
+def _shared_basis_qkv(kind, xh, d_head, pq, pk, pv):
+    """Joint q/k/v projection sharing one basis expansion.
+
+    ``xh``: ``(H, B, T, dh)``; params are the per-head stacked trees of the
+    three vmapped projection modules. Concatenates the three weight sets
+    along the output axis, runs the (dispatch-selected) KAN op once per
+    head via vmap, splits thirds. Mathematically identical to three calls;
+    saves 2/3 of the basis work on paths XLA cannot CSE (the Pallas custom
+    calls are opaque to it).
+    """
+    import jax
+
+    from kanvit.kernels import fused_basis as FB
+    from kanvit.ops import kan_bases as K
+
+    if kind == "efficientkan":
+        grid = K.make_bspline_grid(d_head)
+        bw = jnp.concatenate([pq["base_weight"], pk["base_weight"],
+                              pv["base_weight"]], axis=1)  # (H, 3dh, dh)
+        sw = jnp.concatenate([pq["spline_weight"], pk["spline_weight"],
+                              pv["spline_weight"]], axis=1)
+        sc = jnp.concatenate([pq["spline_scaler"], pk["spline_scaler"],
+                              pv["spline_scaler"]], axis=1)
+        y = jax.vmap(
+            lambda xh_h, bw_h, sw_h, sc_h: FB.bspline_kan(
+                xh_h, grid, bw_h, sw_h, sc_h, 3
+            )
+        )(xh, bw, sw, sc)  # (H, B, T, 3dh)
+    else:  # cheby
+        cc = jnp.concatenate([pq["cheby_coeffs"], pk["cheby_coeffs"],
+                              pv["cheby_coeffs"]], axis=2)  # (H, dh, 3dh, D)
+        y = jax.vmap(FB.chebykan)(xh, cc)
+    return y[..., :d_head], y[..., d_head : 2 * d_head], y[..., 2 * d_head :]
+
+
 class MSA(nn.Module):
     """Multi-head self-attention with per-head variant projections."""
 
@@ -82,9 +117,22 @@ class MSA(nn.Module):
         # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh]
         xh = jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
 
-        q = vmapped("q_mappings")(xh)
-        k = vmapped("k_mappings")(xh)
-        v = vmapped("v_mappings")(xh)
+        qm, km, vm = (vmapped(n) for n in ("q_mappings", "k_mappings", "v_mappings"))
+        q, k, v = qm(xh), km(xh), vm(xh)
+
+        # For basis families whose expansion is parameter-independent
+        # (B-spline: deterministic grid; Chebyshev: T_n(tanh x)), compute the
+        # basis ONCE and contract it against the q/k/v weights jointly. The
+        # per-module results above become dead code at apply time (XLA DCE);
+        # at init they create the (unchanged) parameter tree. fast/sine are
+        # excluded: their basis depends on per-projection params (the
+        # internal LayerNorm / trainable freq).
+        if not self.is_initializing() and self.type in ("efficientkan", "cheby"):
+            q, k, v = _shared_basis_qkv(
+                self.type, xh, d_head,
+                qm.variables["params"], km.variables["params"],
+                vm.variables["params"],
+            )
 
         # (H, B, T, dh) -> (B, H, T, dh)
         q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
