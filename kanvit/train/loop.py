@@ -116,7 +116,7 @@ def _epoch_metrics(losses, logits_list, labels_list, num_classes):
     )
     losses = np.asarray(losses)
     logits = np.asarray(logits)
-    labels = np.concatenate([np.asarray(y) for y in labels_list])
+    labels = np.concatenate(labels_list)  # host-side copies, no D2H
     preds = logits.argmax(-1)
     # softmax on host, f64 for a stable AUC
     z = logits.astype(np.float64) - logits.max(-1, keepdims=True)
@@ -175,6 +175,8 @@ def run(cfg: TrainConfig) -> dict:
         tqdm = lambda it, **kw: it  # noqa: E731
         trange = range
 
+    from kanvit.data.prefetch import lookahead, prefetch
+
     summary = {}
     total_images = 0
     train_t0 = time.perf_counter()
@@ -182,18 +184,19 @@ def run(cfg: TrainConfig) -> dict:
         losses, logit_buf, label_buf = [], [], []
         t0 = time.perf_counter()
         n_batches = 0
-        from kanvit.data.prefetch import lookahead, prefetch
 
         # Host-side batch prep (augmentation) runs ahead in a thread;
-        # optionally issue H2D transfers several batches ahead too.
+        # optionally issue H2D transfers several batches ahead too. Host
+        # label copies ride along so metrics never fetch them back.
         batches = prefetch(train_pipe)
         if cfg.h2d_lookahead > 0:
             batches = lookahead(
-                batches, lambda b: (put(b[0]), put(b[1])), cfg.h2d_lookahead
+                batches, lambda b: (put(b[0]), put(b[1]), b[1]),
+                cfg.h2d_lookahead,
             )
         else:
-            batches = ((put(x), put(y)) for x, y in batches)
-        for bi, (x, y) in enumerate(
+            batches = ((put(x), put(y), y) for x, y in batches)
+        for bi, (x, y, y_host) in enumerate(
             tqdm(batches, desc=f"Epoch {epoch + 1} in training",
                  total=len(train_pipe), leave=False)
         ):
@@ -202,7 +205,7 @@ def run(cfg: TrainConfig) -> dict:
             state, loss, logits = train_step(state, x, y)
             losses.append(loss)
             logit_buf.append(logits)
-            label_buf.append(y)
+            label_buf.append(y_host)
             n_batches += 1
         if losses:
             float(losses[-1])  # hard sync (block_until_ready can lie on
@@ -248,7 +251,7 @@ def run(cfg: TrainConfig) -> dict:
         loss, logits = eval_step(state, put(x), put(y))
         losses.append(loss)
         logit_buf.append(logits)
-        label_buf.append(y)
+        label_buf.append(y)  # host array from the pipeline
     if losses:
         loss, acc, bal, f1, auc = _epoch_metrics(
             losses, logit_buf, label_buf, num_classes
