@@ -154,8 +154,19 @@ def run(cfg: TrainConfig) -> dict:
             state = restore_checkpoint(path, state)
             log.info("Resumed from %s (step %d)", path, int(state.step))
 
-    train_step = make_train_step(bf16=cfg.bf16)
-    eval_step = make_eval_step(bf16=cfg.bf16)
+    # Pin output shardings to the input layout: with donated buffers + AOT
+    # compilation, XLA would otherwise re-choose output shardings and the
+    # returned state would stop matching the executable's inputs.
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+    state_shardings = jax.tree.map(lambda a: a.sharding, state)
+    train_step = make_train_step(
+        bf16=cfg.bf16, out_shardings=(state_shardings, replicated, data_shard)
+    )
+    eval_step = make_eval_step(
+        bf16=cfg.bf16, out_shardings=(replicated, data_shard)
+    )
 
     # Compile ahead of the pipelined loop (compilation mid-epoch would
     # serialize against the in-flight H2D lookahead transfers).

@@ -31,8 +31,16 @@ def _loss_and_logits(apply_fn, params, x, y, bf16: bool):
     return loss, logits
 
 
-def make_train_step(bf16: bool = False, donate: bool = True) -> Callable:
-    """Returns ``step(state, x, y) -> (state, loss, logits)`` (jitted)."""
+def make_train_step(
+    bf16: bool = False, donate: bool = True, out_shardings=None
+) -> Callable:
+    """Returns ``step(state, x, y) -> (state, loss, logits)`` (jitted).
+
+    ``out_shardings`` (``(state_shardings, loss, logits)``) pins the output
+    layout — required when the step is AOT-compiled with donated buffers and
+    sharded params, so the returned state's shardings keep matching the
+    executable's inputs across steps.
+    """
 
     def train_step(state, x, y):
         (loss, logits), grads = jax.value_and_grad(
@@ -40,13 +48,19 @@ def make_train_step(bf16: bool = False, donate: bool = True) -> Callable:
         )(state.params)
         return state.apply_gradients(grads=grads), loss, logits
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    kw = {}
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kw)
 
 
-def make_eval_step(bf16: bool = False) -> Callable:
+def make_eval_step(bf16: bool = False, out_shardings=None) -> Callable:
     """Returns ``step(state, x, y) -> (loss, logits)`` (jitted)."""
 
     def eval_step(state, x, y):
         return _loss_and_logits(state.apply_fn, state.params, x, y, bf16)
 
-    return jax.jit(eval_step)
+    kw = {}
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(eval_step, **kw)

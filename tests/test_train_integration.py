@@ -90,3 +90,12 @@ def test_inference_predictor_roundtrip(tmp_path):
     assert labels.shape == (100,)
     assert probs.shape == (100, 10)
     assert np.allclose(probs.sum(-1), 1.0, atol=1e-6)
+
+
+def test_tensor_parallel_trainer_end_to_end(tmp_path):
+    """TP through the full trainer (AOT-compiled donated step on a (4, 2)
+    mesh) — regression for output-sharding drift on donated buffers."""
+    summary = run(_cfg(tmp_path, epochs=2, n_heads=4, model_type="efficientkan",
+                       n_model_shards=2))
+    assert np.isfinite(summary["train_loss"])
+    assert np.isfinite(summary["test_loss"])
