@@ -38,8 +38,8 @@ def main():
     p.add_argument("--model-type", default="efficientkan")
     p.add_argument("--preset", default="reference", choices=sorted(PRESETS))
     p.add_argument("--batch-size", type=int, default=128)
-    p.add_argument("--steps", type=int, default=30)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--warmup", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
