@@ -164,3 +164,40 @@ def test_flash_attention_kernel_masked():
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gr):
         assert np.abs(np.asarray(a - b)).max() < 1e-4
+
+
+def test_flash_attention_kernel_bf16_inputs():
+    """bf16 q/k/v: kernel computes in f32 internally, returns bf16."""
+    from kanvit.kernels.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(9)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 20, 8), jnp.bfloat16)
+    k = jax.random.normal(kk, (1, 2, 20, 8), jnp.bfloat16)
+    v = jax.random.normal(kv, (1, 2, 20, 8), jnp.bfloat16)
+    o = flash_attention(q, k, v, False, 16, 16)
+    assert o.dtype == jnp.bfloat16
+    ref, _ = flash_attention_reference(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        False, 16, 16,
+    )
+    assert np.abs(np.asarray(o, np.float32) - np.asarray(ref)).max() < 2e-2
+
+
+def test_fused_bspline_bf16_inputs(x):
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(10)
+    k1, k2, k3 = jax.random.split(key, 3)
+    grid = K.make_bspline_grid(IN, 5, 3)
+    bw = (jax.random.normal(k1, (OUT, IN)) * 0.1).astype(jnp.bfloat16)
+    sw = (jax.random.normal(k2, (OUT, IN, 8)) * 0.1).astype(jnp.bfloat16)
+    sc = (jax.random.normal(k3, (OUT, IN)) * 0.1).astype(jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    y = FB.bspline_kan(xb, grid, bw, sw, sc, 3)
+    assert y.dtype == jnp.bfloat16
+    ref = K.bspline_kan_forward(
+        x, grid, bw.astype(jnp.float32), sw.astype(jnp.float32),
+        sc.astype(jnp.float32), 3,
+    )
+    assert np.abs(np.asarray(y, np.float32) - np.asarray(ref)).max() < 2e-2
