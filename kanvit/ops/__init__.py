@@ -9,11 +9,17 @@ from kanvit.ops.patchify import patchify, unpatchify
 from kanvit.ops.posemb import sinusoidal_positional_embeddings
 from kanvit.ops.kan_bases import (
     bspline_bases,
+    bspline_bases_and_grad,
+    bspline_curve2coeff,
     bspline_kan_forward,
+    bspline_regularization_loss,
+    bspline_update_grid,
+    make_bspline_grid,
     rbf_bases,
     fastkan_forward,
     sine_bases,
     sinekan_forward,
+    sinekan_phase_init,
     fourier_bases,
     fourierkan_forward,
     cheby_bases,
@@ -29,6 +35,12 @@ __all__ = [
     "unpatchify",
     "sinusoidal_positional_embeddings",
     "bspline_bases",
+    "bspline_bases_and_grad",
+    "bspline_curve2coeff",
+    "bspline_regularization_loss",
+    "bspline_update_grid",
+    "make_bspline_grid",
+    "sinekan_phase_init",
     "bspline_kan_forward",
     "rbf_bases",
     "fastkan_forward",
