@@ -70,7 +70,7 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int) -> int:
     return int(max(8, min(256, (bn // 8) * 8)))
 
 
-def _should_fuse(n: int, f: int, family: str = "") -> bool:
+def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
     if dispatch.get_impl() == "pallas":
         return True
     if not dispatch.use_pallas():
@@ -78,10 +78,11 @@ def _should_fuse(n: int, f: int, family: str = "") -> bool:
     # B-spline is the one mul/add-only (HBM-bound) family: the kernel wins
     # ~1.6-1.7x at N >= 200k, ties around 25-50k, and — by never
     # materializing the basis levels — runs configs whose jnp path OOMs HBM
-    # (ViT-S efficientkan at N=25216 per head). The trig/RBF families are
-    # transcendental-bound and the jnp path stays ahead at every measured
-    # size.
-    return family == "bspline" and n >= 16384
+    # (ViT-S efficientkan at N=25216 per head). Narrow inputs (the in=16
+    # MNIST embedder) measured slightly faster on jnp — require nin >= 24.
+    # The trig/RBF families are transcendental-bound and the jnp path stays
+    # ahead at every measured size.
+    return family == "bspline" and n >= 16384 and nin >= 24
 
 
 def _round_up(x: int, m: int) -> int:
@@ -498,7 +499,7 @@ def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order
     out = base_weight.shape[0]
     xf = x.reshape(-1, nin)
     ng = spline_weight.shape[-1]  # grid_size + spline_order
-    if not _should_fuse(xf.shape[0], ng * nin, "bspline"):
+    if not _should_fuse(xf.shape[0], ng * nin, "bspline", nin):
         return K.bspline_kan_forward(
             x, grid, base_weight, spline_weight, spline_scaler, spline_order
         )
