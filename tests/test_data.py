@@ -92,3 +92,16 @@ def test_prefetch_preserves_order_and_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_digits_dataset_real_data():
+    from kanvit.data.datasets import load_dataset
+
+    x_tr, y_tr, nc = load_dataset("digits", train=True)
+    x_te, y_te, _ = load_dataset("digits", train=False)
+    assert nc == 10
+    assert x_tr.shape[1:] == (1, 32, 32)
+    assert len(x_tr) + len(x_te) == 1797  # sklearn digits size
+    # deterministic split, no overlap by construction, labels sane
+    assert set(np.unique(y_tr)) == set(range(10))
+    assert x_tr.min() >= 0 and x_tr.max() <= 1
