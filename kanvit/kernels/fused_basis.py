@@ -26,11 +26,10 @@ VJP:
 Weight layout inside the kernels is ``(ng, in, out)``; layer-facing wrappers
 transpose from the reference's parameter layouts (cheap, differentiable).
 
-Dispatch policy: the kernel engages on TPU when the problem is big enough to
-benefit — the per-head KAN projections in MSA are tiny (``d_head``-sized)
-and stay on the fused-by-XLA jnp path; the patch embedders and any
-production-scale KAN layers hit the kernel. Forcing
-``dispatch.set_impl('pallas')`` bypasses the thresholds (used by tests).
+Dispatch policy is measurement-driven (see ``_should_fuse`` and
+docs/PERFORMANCE.md): on "auto" only the B-spline family engages the kernel
+(HBM-bound, wins at scale, and enables configs whose XLA path OOMs);
+``KANVIT_IMPL=pallas`` forces every kernel (tests, escape hatch).
 """
 
 from __future__ import annotations
