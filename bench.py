@@ -41,6 +41,8 @@ def main():
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--warmup", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="gradient rematerialization (memory for FLOPs)")
     args = p.parse_args()
 
     from kanvit.models import create_model
@@ -48,7 +50,7 @@ def main():
     from kanvit.train.steps import make_train_step
 
     geom = PRESETS[args.preset]
-    model = create_model(args.model_type, **geom)
+    model = create_model(args.model_type, remat=args.remat, **geom)
     chw = geom["chw"]
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, rng, jnp.zeros((1, *chw)))

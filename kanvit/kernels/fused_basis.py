@@ -339,12 +339,37 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     return y[:n]
 
 
+def _jnp_bwd(x2d, w2d, g, extras, family, nin):
+    """Pure-XLA backward for shapes whose dw accumulator ((F, out) f32)
+    cannot fit VMEM (very wide embedders). The forward stays fused — that is
+    where the activation-memory win lives; this backward materializes the
+    basis transiently in HBM."""
+    ng = family.ng
+    x = x2d.astype(jnp.float32)
+    gout = g.astype(jnp.float32)
+    ctx = family.setup(x, *extras)
+    gw = gout @ w2d.astype(jnp.float32).T  # (N, F)
+    dx = jnp.zeros_like(x)
+    dw_cols = []
+    for gi in range(ng):
+        b_g, db_g = family.basis_grad(ctx, gi)
+        dx = dx + gw[:, gi * nin : (gi + 1) * nin] * db_g
+        dw_cols.append(b_g.T @ gout)  # (in, out)
+    dw2d = jnp.concatenate(dw_cols, axis=0)  # (F, out)
+    return dx.astype(x2d.dtype), dw2d.astype(w2d.dtype)
+
+
 def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     """Returns (dx (N, in), dw (ng, in, out))."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     f = ng * nin
     bn = min(_pick_row_block(nin, out, ng, n_temps=3), _round_up(n, 8))
+    if bn < 32:
+        # dw accumulator too large for VMEM scratch — XLA backward instead.
+        extras_arrays = tuple(jnp.asarray(e) for e in extras)
+        dx, dw2d = _jnp_bwd(x2d, w3d.reshape(f, out), g, extras_arrays, family, nin)
+        return dx, dw2d.reshape(ng, nin, out)
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero g rows -> zero dw contrib

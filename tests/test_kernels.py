@@ -201,3 +201,24 @@ def test_fused_bspline_bf16_inputs(x):
         sc.astype(jnp.float32), 3,
     )
     assert np.abs(np.asarray(y, np.float32) - np.asarray(ref)).max() < 2e-2
+
+
+def test_fused_bspline_wide_embedder_bwd_fallback():
+    """At (in=768, out=384) the dw VMEM accumulator can't fit — the custom
+    VJP must route backward through the XLA fallback and still match."""
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    IN_W, OUT_W = 768, 384
+    x = jax.random.normal(k1, (64, IN_W)) * 0.5
+    grid = K.make_bspline_grid(IN_W, 5, 3)
+    bw = jax.random.normal(k2, (OUT_W, IN_W)) * 0.02
+    sw = jax.random.normal(k3, (OUT_W, IN_W, 8)) * 0.02
+    sc = jax.random.normal(k4, (OUT_W, IN_W)) * 0.02
+    f_pal = lambda x, bw, sw, sc: FB.bspline_kan(x, grid, bw, sw, sc, 3)
+    f_ref = lambda x, bw, sw, sc: K.bspline_kan_forward(x, grid, bw, sw, sc, 3)
+    gp = jax.grad(lambda *a: (f_pal(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(x, bw, sw, sc)
+    gr = jax.grad(lambda *a: (f_ref(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(x, bw, sw, sc)
+    for a, b in zip(gp, gr):
+        assert np.abs(np.asarray(a - b)).max() < 1e-3
