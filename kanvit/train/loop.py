@@ -152,6 +152,10 @@ def run(cfg: TrainConfig) -> dict:
         path = latest_checkpoint(cfg.ckpt_dir)
         if path:
             state = restore_checkpoint(path, state)
+            # from_bytes leaves host numpy arrays in the tree; re-place on
+            # the mesh so the .sharding reads below and the AOT-compiled
+            # step see device arrays again.
+            state = shard_state(state, mesh)
             log.info("Resumed from %s (step %d)", path, int(state.step))
 
     # Pin output shardings to the input layout: with donated buffers + AOT

@@ -62,6 +62,37 @@ def test_checkpoint_resume_roundtrip(tmp_path):
         assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_trainer_resume_through_run(tmp_path):
+    """--resume through the real trainer path: restore must re-shard the
+    state (flax from_bytes leaves numpy arrays, round-1 crash) and the step
+    counter must continue where the checkpoint left off."""
+    from kanvit.train.checkpoint import latest_checkpoint
+
+    ck = str(tmp_path / "ck")
+    cfg = _cfg(tmp_path, epochs=1, ckpt_dir=ck)
+    first = run(cfg)
+    step1 = int(os.path.basename(latest_checkpoint(ck)).split("_")[1].split(".")[0])
+    assert step1 == 6  # limit_train_batches per epoch
+
+    resumed = run(_cfg(tmp_path, epochs=1, ckpt_dir=ck, resume=True))
+    step2 = int(os.path.basename(latest_checkpoint(ck)).split("_")[1].split(".")[0])
+    assert step2 == 12  # continued, not restarted
+    assert np.isfinite(resumed["train_loss"])
+    # loss continuity: the resumed epoch starts from trained params, so it
+    # memorizes the fixed synthetic set further than the fresh first epoch
+    assert resumed["train_loss"] < first["train_loss"]
+
+
+def test_trainer_resume_with_tensor_parallel(tmp_path):
+    """Resume must also re-apply TP shardings, not just replicate."""
+    ck = str(tmp_path / "ck_tp")
+    base = dict(epochs=1, n_heads=4, model_type="efficientkan",
+                n_model_shards=2, ckpt_dir=ck)
+    run(_cfg(tmp_path, **base))
+    resumed = run(_cfg(tmp_path, resume=True, **base))
+    assert np.isfinite(resumed["train_loss"])
+
+
 def test_bf16_policy_trains(tmp_path):
     summary = run(_cfg(tmp_path, epochs=1, bf16=True))
     assert np.isfinite(summary["train_loss"])
