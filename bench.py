@@ -61,6 +61,17 @@ def main():
         jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
     )
 
+    # AOT-compile so we can read XLA's own FLOP count for the whole fused
+    # step (fwd + CE + bwd + Adam) — the basis for the MFU figure.
+    step = step.lower(state, x, y).compile()
+    flops = None
+    try:
+        ca = step.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
     for _ in range(args.warmup):
         state, loss, _ = step(state, x, y)
     float(loss)  # hard D2H sync — block_until_ready can return early on

@@ -95,7 +95,7 @@ def main(argv=None):
     p.add_argument("--model-type", default="vanilla")
     p.add_argument("--ckpt-dir", required=True)
     p.add_argument("--dataset", default="mnist",
-                   choices=("mnist", "cifar100", "synthetic"))
+                   choices=("mnist", "cifar100", "digits", "synthetic"))
     p.add_argument("--data-dir", default=None)
     p.add_argument("--n-blocks", type=int, default=8)
     p.add_argument("--d-hidden", type=int, default=64)

@@ -311,12 +311,30 @@ def _smem_spec(arr):
     )
 
 
+def _jnp_fwd(x2d, w2d, extras, family, nin):
+    """Pure-XLA forward for shapes whose fixed VMEM live set (weights +
+    (bn, F) scratch) exceeds the budget even at the minimum row block —
+    degrade gracefully instead of failing at Mosaic compile time (mirror of
+    the ``_fused_bwd`` guard)."""
+    x = x2d.astype(jnp.float32)
+    ctx = family.setup(x, *extras)
+    y = jnp.zeros((x.shape[0], w2d.shape[1]), jnp.float32)
+    for gi in range(family.ng):
+        y = y + family.basis(ctx, gi) @ w2d[gi * nin : (gi + 1) * nin].astype(
+            jnp.float32
+        )
+    return y.astype(x2d.dtype)
+
+
 def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     f = ng * nin
     bn = min(_pick_row_block(nin, out, ng, n_temps=2), _round_up(n, 8))
+    if bn < 32:
+        extras_arrays = tuple(jnp.asarray(e) for e in extras)
+        return _jnp_fwd(x2d, w3d.reshape(f, out), extras_arrays, family, nin)
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     w2d = w3d.reshape(f, out)

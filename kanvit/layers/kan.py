@@ -225,11 +225,16 @@ class SineKANLayer(nn.Module):
         grid_norm = jnp.arange(1, self.grid_size + 1, dtype=jnp.float32)
 
         def amp_init(key, shape, dtype=jnp.float32):
+            # The reference draws (out, in, 1) and broadcasts the SAME
+            # sample across the grid axis via the grid-norm division
+            # (sinekan.py:49-57) — the cross-harmonic correlation matters,
+            # not just the per-element marginals.
+            base_shape = (*shape[:-1], 1)
             if self.is_first:
-                base = jax.random.normal(key, shape, dtype) * 0.4
+                base = jax.random.normal(key, base_shape, dtype) * 0.4
             else:
-                base = jax.random.uniform(key, shape, dtype, -1.0, 1.0)
-            return base / self.output_dim / grid_norm
+                base = jax.random.uniform(key, base_shape, dtype, -1.0, 1.0)
+            return jnp.broadcast_to(base / self.output_dim / grid_norm, shape)
 
         self.amplitudes = self.param(
             "amplitudes", amp_init, (self.output_dim, self.input_dim, self.grid_size)

@@ -84,9 +84,12 @@ def build_pipelines(cfg: TrainConfig):
         x_tr, y_tr, cfg.batch_size, shuffle=True, augment=is_cifar,
         normalize_stats=stats, seed=cfg.seed,
     )
+    # Eval covers the FULL test set (the reference evaluates every sample):
+    # the trailing partial batch is kept, padded to the compiled batch shape
+    # in the eval loop, and sliced back out of the loss/logits.
     test_pipe = DataPipeline(
         x_te, y_te, cfg.batch_size, shuffle=False, augment=False,
-        normalize_stats=stats, seed=cfg.seed,
+        normalize_stats=stats, seed=cfg.seed, drop_remainder=False,
     )
     return train_pipe, test_pipe, num_classes
 
@@ -112,7 +115,8 @@ def _epoch_metrics(losses, logits_list, labels_list, num_classes):
     # hundreds of small per-step outputs individually is both slow and, on
     # tunneled device transports, unreliable).
     losses, logits = jax.device_get(
-        (jnp.stack(losses), jnp.concatenate(logits_list))
+        (jnp.concatenate([jnp.atleast_1d(l) for l in losses]),
+         jnp.concatenate(logits_list))
     )
     losses = np.asarray(losses)
     logits = np.asarray(logits)
@@ -169,7 +173,8 @@ def run(cfg: TrainConfig) -> dict:
         bf16=cfg.bf16, out_shardings=(state_shardings, replicated, data_shard)
     )
     eval_step = make_eval_step(
-        bf16=cfg.bf16, out_shardings=(replicated, data_shard)
+        bf16=cfg.bf16, out_shardings=(data_shard, data_shard),
+        per_example=True,
     )
 
     # Compile ahead of the pipelined loop (compilation mid-epoch would
@@ -263,9 +268,16 @@ def run(cfg: TrainConfig) -> dict:
     for bi, (x, y) in enumerate(tqdm(test_pipe, desc="Testing")):
         if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
             break
-        loss, logits = eval_step(state, put(x), put(y))
-        losses.append(loss)
-        logit_buf.append(logits)
+        n_valid = len(y)
+        if n_valid < cfg.batch_size:  # pad the tail batch, slice back below
+            pad = cfg.batch_size - n_valid
+            x = np.concatenate([x, np.zeros((pad, *x.shape[1:]), x.dtype)])
+            y_in = np.concatenate([y, np.zeros(pad, y.dtype)])
+        else:
+            y_in = y
+        loss_vec, logits = eval_step(state, put(x), put(y_in))
+        losses.append(loss_vec[:n_valid])
+        logit_buf.append(logits[:n_valid])
         label_buf.append(y)  # host array from the pipeline
     if losses:
         loss, acc, bal, f1, auc = _epoch_metrics(

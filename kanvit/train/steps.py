@@ -20,15 +20,15 @@ import jax.numpy as jnp
 import optax
 
 
-def _loss_and_logits(apply_fn, params, x, y, bf16: bool):
+def _loss_and_logits(apply_fn, params, x, y, bf16: bool, reduce: bool = True):
     if bf16:
         params = jax.tree.map(
             lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
         )
         x = x.astype(jnp.bfloat16)
     logits = apply_fn({"params": params}, x).astype(jnp.float32)
-    loss = optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
-    return loss, logits
+    loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    return (loss.mean() if reduce else loss), logits
 
 
 def make_train_step(
@@ -54,11 +54,22 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kw)
 
 
-def make_eval_step(bf16: bool = False, out_shardings=None) -> Callable:
-    """Returns ``step(state, x, y) -> (loss, logits)`` (jitted)."""
+def make_eval_step(
+    bf16: bool = False, out_shardings=None, per_example: bool = False
+) -> Callable:
+    """Returns ``step(state, x, y) -> (loss, logits)`` (jitted).
+
+    ``per_example=True`` returns the unreduced ``(B,)`` CE vector instead of
+    the scalar mean, so callers that pad the final batch to the compiled
+    shape can slice the padding back out of the loss (full-test-set
+    coverage; the reference evaluates every sample, ``train.py:58-84``).
+    """
 
     def eval_step(state, x, y):
-        return _loss_and_logits(state.apply_fn, state.params, x, y, bf16)
+        loss, logits = _loss_and_logits(
+            state.apply_fn, state.params, x, y, bf16, reduce=not per_example
+        )
+        return loss, logits
 
     kw = {}
     if out_shardings is not None:

@@ -203,9 +203,11 @@ def test_fused_bspline_bf16_inputs(x):
     assert np.abs(np.asarray(y, np.float32) - np.asarray(ref)).max() < 2e-2
 
 
-def test_fused_bspline_wide_embedder_bwd_fallback():
-    """At (in=768, out=384) the dw VMEM accumulator can't fit — the custom
-    VJP must route backward through the XLA fallback and still match."""
+def test_fused_bspline_wide_embedder_fallbacks():
+    """At (in=768, out=384) the fixed VMEM live set (weights + scratch)
+    exceeds the budget: the forward must degrade to the XLA fallback
+    (instead of erroring at Mosaic compile time) and the custom VJP must
+    route backward through _jnp_bwd — both still matching ground truth."""
     from kanvit.kernels import fused_basis as FB
 
     key = jax.random.PRNGKey(11)
@@ -218,6 +220,8 @@ def test_fused_bspline_wide_embedder_bwd_fallback():
     sc = jax.random.normal(k4, (OUT_W, IN_W)) * 0.02
     f_pal = lambda x, bw, sw, sc: FB.bspline_kan(x, grid, bw, sw, sc, 3)
     f_ref = lambda x, bw, sw, sc: K.bspline_kan_forward(x, grid, bw, sw, sc, 3)
+    y_pal, y_ref = f_pal(x, bw, sw, sc), f_ref(x, bw, sw, sc)
+    assert np.abs(np.asarray(y_pal - y_ref)).max() < 1e-4
     gp = jax.grad(lambda *a: (f_pal(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(x, bw, sw, sc)
     gr = jax.grad(lambda *a: (f_ref(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(x, bw, sw, sc)
     for a, b in zip(gp, gr):

@@ -94,3 +94,21 @@ def test_remat_matches_no_remat():
     assert np.allclose(float(l1), float(l2), atol=1e-6)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         assert np.abs(np.asarray(a - b)).max() < 1e-5
+
+
+def test_sinekan_amp_init_broadcast_structure():
+    """The reference draws amplitudes as (out, in, 1) and broadcasts the
+    SAME sample across the grid axis before the per-harmonic norm division
+    (sinekan.py:49-57) — so amp * grid_norm must be constant along grid."""
+    import jax
+
+    from kanvit.layers.kan import SineKANLayer
+
+    layer = SineKANLayer(input_dim=16, output_dim=8, grid_size=5)
+    params = layer.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)))["params"]
+    amp = np.asarray(params["amplitudes"])  # (out, in, grid)
+    grid_norm = np.arange(1, 6, dtype=np.float32)
+    unscaled = amp * grid_norm  # undo the per-harmonic division
+    assert np.allclose(unscaled, unscaled[..., :1], atol=1e-6)
+    # and the samples are not degenerate
+    assert np.std(unscaled[..., 0]) > 0.01
