@@ -32,6 +32,25 @@ PRESETS = {
                   d_hidden=384, n_heads=6, out_d=1000),
 }
 
+# Per-chip peak matmul throughput (bf16 FLOP/s) by device kind, for the MFU
+# figure. MFU is always reported against the bf16 MXU peak — the standard
+# convention — so f32 runs show correspondingly lower utilization.
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "cpu": 1e12,             # nominal, keeps the field defined in CI
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "cpu")
+    for key, val in PEAK_FLOPS.items():
+        if kind.startswith(key):
+            return val
+    return None
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -98,6 +117,11 @@ def main():
         if ref:
             vs = round(ips / ref, 2)
 
+    peak = _peak_flops(jax.devices()[0])
+    mfu = None
+    if flops and peak:
+        mfu = round(flops / (step_ms / 1000) / (peak * n_chips), 4)
+
     name = "mnist" if args.preset == "reference" else args.preset
     print(json.dumps({
         "metric": f"{name}_{args.model_type}_train_images_per_sec_per_chip",
@@ -108,6 +132,9 @@ def main():
         "batch_size": args.batch_size,
         "device": str(jax.devices()[0]),
         "bf16": args.bf16,
+        "flops_per_step": flops,
+        "mfu": mfu,
+        "peak_flops_bf16": peak,
     }))
 
 

@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-model-shards", type=int, default=1,
                    help="tensor-parallel shards (devices split as data x model)")
+    # Multi-host (jax.distributed): DP laid across hosts over DCN. With no
+    # flags set this is a no-op (single-process). On TPU pods the
+    # coordinator/process args are usually auto-detected — pass
+    # --num-processes alone to trigger env-based initialization.
+    p.add_argument("--coordinator-address", type=str, default=None,
+                   help="multi-host coordinator, e.g. 10.0.0.1:1234")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="write a jax.profiler trace of the test pass here")
     p.add_argument("--h2d-lookahead", type=int, default=0,
@@ -51,10 +59,26 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> dict:
     args = build_parser().parse_args(argv)
+    from kanvit.parallel.distributed import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
     if args.device:
         import jax
 
         jax.config.update("jax_platforms", args.device)
+        try:
+            jax.devices()
+        except RuntimeError:
+            # The requested name may be served by a differently-named
+            # plugin (e.g. 'tpu' behind the 'axon' tunnel on dev hosts):
+            # fall back to the ambient default backend rather than failing.
+            jax.config.update("jax_platforms", None)
+            print(
+                f"--device {args.device}: no such platform here; using "
+                f"default backend {jax.default_backend()!r}"
+            )
     cfg = TrainConfig(
         epochs=args.epochs,
         batch_size=args.batch_size,

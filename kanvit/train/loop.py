@@ -18,6 +18,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec
 
 from kanvit.data.datasets import load_dataset
 from kanvit.data.pipeline import (
@@ -26,6 +27,7 @@ from kanvit.data.pipeline import (
     DataPipeline,
 )
 from kanvit.models import create_model
+from kanvit.parallel.distributed import process_batch_slice
 from kanvit.parallel.mesh import batch_sharding, create_mesh, shard_state
 from kanvit.train.checkpoint import (
     latest_checkpoint,
@@ -110,14 +112,18 @@ def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
     return model, state
 
 
-def _epoch_metrics(losses, logits_list, labels_list, num_classes):
+def _epoch_metrics(losses, logits_list, labels_list, num_classes,
+                   replicate=None):
     # Aggregate on device, then ONE bulk D2H transfer per epoch (fetching
     # hundreds of small per-step outputs individually is both slow and, on
-    # tunneled device transports, unreliable).
-    losses, logits = jax.device_get(
-        (jnp.concatenate([jnp.atleast_1d(l) for l in losses]),
-         jnp.concatenate(logits_list))
-    )
+    # tunneled device transports, unreliable). Multi-host runs pass
+    # ``replicate`` (a jit identity with replicated out_shardings — an
+    # all-gather over DCN) so device_get sees only addressable shards.
+    losses = jnp.concatenate([jnp.atleast_1d(l) for l in losses])
+    logits = jnp.concatenate(logits_list)
+    if replicate is not None:
+        losses, logits = replicate(losses, logits)
+    losses, logits = jax.device_get((losses, logits))
     losses = np.asarray(losses)
     logits = np.asarray(logits)
     labels = np.concatenate(labels_list)  # host-side copies, no D2H
@@ -148,9 +154,17 @@ def run(cfg: TrainConfig) -> dict:
     log.info("Model %s: %d parameters", cfg.model_type, n_params)
 
     # Mesh: DP over remaining devices, optional TP over n_model_shards.
+    # Under jax.distributed (multi-host) the same mesh spans all hosts'
+    # devices; each process feeds its slice of the global batch.
     mesh = create_mesh(n_model=cfg.n_model_shards)
     state = shard_state(state, mesh)
     data_shard = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
+    is_proc0 = jax.process_index() == 0
+    replicate = None
+    if multiproc:
+        rep = NamedSharding(mesh, PartitionSpec())
+        replicate = jax.jit(lambda a, b: (a, b), out_shardings=(rep, rep))
 
     if cfg.resume and cfg.ckpt_dir:
         path = latest_checkpoint(cfg.ckpt_dir)
@@ -165,8 +179,6 @@ def run(cfg: TrainConfig) -> dict:
     # Pin output shardings to the input layout: with donated buffers + AOT
     # compilation, XLA would otherwise re-choose output shardings and the
     # returned state would stop matching the executable's inputs.
-    from jax.sharding import NamedSharding, PartitionSpec
-
     replicated = NamedSharding(mesh, PartitionSpec())
     state_shardings = jax.tree.map(lambda a: a.sharding, state)
     train_step = make_train_step(
@@ -177,17 +189,25 @@ def run(cfg: TrainConfig) -> dict:
         per_example=True,
     )
 
+    def put(x):
+        """Host batch -> mesh-sharded device array. ``cfg.batch_size`` is the
+        GLOBAL batch; under multi-host each process extracts its slice of the
+        (identically generated, same-seed) global batch."""
+        if multiproc:
+            per, off = process_batch_slice(len(x))
+            return jax.make_array_from_process_local_data(
+                data_shard, np.asarray(x)[off: off + per], x.shape
+            )
+        return jax.device_put(x, data_shard)
+
     # Compile ahead of the pipelined loop (compilation mid-epoch would
     # serialize against the in-flight H2D lookahead transfers).
-    sample_x = jax.device_put(jnp.zeros((cfg.batch_size, *chw), jnp.float32), data_shard)
-    sample_y = jax.device_put(jnp.zeros((cfg.batch_size,), jnp.int32), data_shard)
+    sample_x = put(np.zeros((cfg.batch_size, *chw), np.float32))
+    sample_y = put(np.zeros((cfg.batch_size,), np.int32))
     t0 = time.perf_counter()
     train_step = train_step.lower(state, sample_x, sample_y).compile()
     eval_step = eval_step.lower(state, sample_x, sample_y).compile()
     log.info("compiled train/eval steps in %.1fs", time.perf_counter() - t0)
-
-    def put(x):
-        return jax.device_put(x, data_shard)
 
     try:  # progress bars like the reference (train.py:26,31,64)
         from tqdm import tqdm, trange
@@ -235,7 +255,7 @@ def run(cfg: TrainConfig) -> dict:
         total_images += images
 
         loss, acc, bal, f1, auc = _epoch_metrics(
-            losses, logit_buf, label_buf, num_classes
+            losses, logit_buf, label_buf, num_classes, replicate
         )
         log.info("Epoch %d/%d", epoch + 1, cfg.epochs)
         log.info("  Train Loss: %.4f", loss)
@@ -251,11 +271,11 @@ def run(cfg: TrainConfig) -> dict:
             train_loss=loss, train_accuracy=acc, images_per_sec=images / dt
         )
 
-        if epoch == cfg.epochs - 1:
+        if epoch == cfg.epochs - 1 and is_proc0:
             save_metrics(
                 metrics_file, epoch + 1, "Train", loss, acc, bal, f1, auc, flag=0
             )
-        if cfg.ckpt_dir:
+        if cfg.ckpt_dir and is_proc0:
             save_checkpoint(cfg.ckpt_dir, jax.device_get(state), int(state.step))
 
     summary["train_time_sec"] = time.perf_counter() - train_t0
@@ -264,10 +284,8 @@ def run(cfg: TrainConfig) -> dict:
     # Test pass (reference train.py:58-84)
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
-    losses, logit_buf, label_buf = [], [], []
-    for bi, (x, y) in enumerate(tqdm(test_pipe, desc="Testing")):
-        if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
-            break
+    def _pad_tail(batch):
+        x, y = batch
         n_valid = len(y)
         if n_valid < cfg.batch_size:  # pad the tail batch, slice back below
             pad = cfg.batch_size - n_valid
@@ -275,13 +293,33 @@ def run(cfg: TrainConfig) -> dict:
             y_in = np.concatenate([y, np.zeros(pad, y.dtype)])
         else:
             y_in = y
-        loss_vec, logits = eval_step(state, put(x), put(y_in))
+        return x, y_in, y, n_valid
+
+    # Same host-side pipelining as the train pass: batch prep runs ahead in
+    # a thread; H2D transfers optionally ride the lookahead window.
+    eval_batches = prefetch(map(_pad_tail, test_pipe))
+    if cfg.h2d_lookahead > 0:
+        eval_batches = lookahead(
+            eval_batches, lambda b: (put(b[0]), put(b[1]), b[2], b[3]),
+            cfg.h2d_lookahead,
+        )
+    else:
+        eval_batches = (
+            (put(x), put(y_in), y, nv) for x, y_in, y, nv in eval_batches
+        )
+    losses, logit_buf, label_buf = [], [], []
+    for bi, (x, y_in, y, n_valid) in enumerate(
+        tqdm(eval_batches, desc="Testing", total=len(test_pipe))
+    ):
+        if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
+            break
+        loss_vec, logits = eval_step(state, x, y_in)
         losses.append(loss_vec[:n_valid])
         logit_buf.append(logits[:n_valid])
         label_buf.append(y)  # host array from the pipeline
     if losses:
         loss, acc, bal, f1, auc = _epoch_metrics(
-            losses, logit_buf, label_buf, num_classes
+            losses, logit_buf, label_buf, num_classes, replicate
         )
         log.info("Test Results:")
         log.info("  Test Loss: %.4f", loss)
@@ -289,9 +327,10 @@ def run(cfg: TrainConfig) -> dict:
         log.info("  Test Balanced Accuracy: %.4f", bal)
         log.info("  Test F1 Score: %.4f", f1)
         log.info("  Test ROC AUC: %.4f", auc)
-        save_metrics(
-            metrics_file, cfg.epochs, "Test", loss, acc, bal, f1, auc, flag=1
-        )
+        if is_proc0:
+            save_metrics(
+                metrics_file, cfg.epochs, "Test", loss, acc, bal, f1, auc, flag=1
+            )
         summary.update(test_loss=loss, test_accuracy=acc)
     if cfg.profile_dir:
         jax.profiler.stop_trace()
