@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline H2D transfers N batches ahead (0=off)")
     p.add_argument("--limit-train-batches", type=int, default=None)
     p.add_argument("--limit-eval-batches", type=int, default=None)
+    p.add_argument("--update-grid-every", type=int, default=0,
+                   help="refit B-spline knot grids from live activations "
+                        "every N steps (efficientkan; 0=off)")
     return p
 
 
@@ -99,6 +102,7 @@ def main(argv=None) -> dict:
         h2d_lookahead=args.h2d_lookahead,
         limit_train_batches=args.limit_train_batches,
         limit_eval_batches=args.limit_eval_batches,
+        update_grid_every=args.update_grid_every,
     )
     return run(cfg)
 

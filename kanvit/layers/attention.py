@@ -33,12 +33,14 @@ from kanvit.layers.kan import (
 from kanvit.ops.attention import multi_head_attention
 
 
-def _head_projection_cls_and_kwargs(kind: str, d_head: int):
+def _head_projection_cls_and_kwargs(kind: str, d_head: int,
+                                    stateful_grid: bool = False):
     """Reference MSA dispatch table -> (module class, ctor kwargs)."""
     if kind in ("vanilla", "flash-attn", "fourier", "linear"):
         return TorchLinear, dict(in_features=d_head, out_features=d_head)
     if kind == "efficientkan":
-        return KANLinear, dict(in_features=d_head, out_features=d_head)
+        return KANLinear, dict(in_features=d_head, out_features=d_head,
+                               stateful_grid=stateful_grid)
     if kind == "fast":
         return FastKANLayer, dict(input_dim=d_head, output_dim=d_head)
     if kind == "sine":
@@ -67,18 +69,29 @@ def _shared_basis_qkv(kind, xh, d_head, pq, pk, pv):
     from kanvit.ops import kan_bases as K
 
     if kind == "efficientkan":
-        grid = K.make_bspline_grid(d_head)
         bw = jnp.concatenate([pq["base_weight"], pk["base_weight"],
                               pv["base_weight"]], axis=1)  # (H, 3dh, dh)
         sw = jnp.concatenate([pq["spline_weight"], pk["spline_weight"],
                               pv["spline_weight"]], axis=1)
         sc = jnp.concatenate([pq["spline_scaler"], pk["spline_scaler"],
                               pv["spline_scaler"]], axis=1)
-        y = jax.vmap(
-            lambda xh_h, bw_h, sw_h, sc_h: FB.bspline_kan(
-                xh_h, grid, bw_h, sw_h, sc_h, 3
-            )
-        )(xh, bw, sw, sc)  # (H, B, T, 3dh)
+        if "grid" in pq:
+            # Stateful (adaptive) grids: per-head (H, dh, knots). q/k/v see
+            # the same input and the refit is deterministic in it, so their
+            # grids stay identical — sharing q's is exact.
+            grid = pq["grid"]
+            y = jax.vmap(
+                lambda xh_h, g_h, bw_h, sw_h, sc_h: FB.bspline_kan(
+                    xh_h, g_h, bw_h, sw_h, sc_h, 3
+                )
+            )(xh, grid, bw, sw, sc)  # (H, B, T, 3dh)
+        else:
+            grid = K.make_bspline_grid(d_head)
+            y = jax.vmap(
+                lambda xh_h, bw_h, sw_h, sc_h: FB.bspline_kan(
+                    xh_h, grid, bw_h, sw_h, sc_h, 3
+                )
+            )(xh, bw, sw, sc)  # (H, B, T, 3dh)
     else:  # cheby
         cc = jnp.concatenate([pq["cheby_coeffs"], pk["cheby_coeffs"],
                               pv["cheby_coeffs"]], axis=2)  # (H, dh, 3dh, D)
@@ -92,22 +105,27 @@ class MSA(nn.Module):
     d: int
     n_heads: int = 4
     type: str = "vanilla"
+    stateful_grid: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.d % self.n_heads:
             raise ValueError(f"d={self.d} not divisible by n_heads={self.n_heads}")
         d_head = self.d // self.n_heads
-        cls, kwargs = _head_projection_cls_and_kwargs(self.type, d_head)
+        cls, kwargs = _head_projection_cls_and_kwargs(
+            self.type, d_head, self.stateful_grid
+        )
 
         # Stack the per-head modules along a leading axis: params get shape
         # (n_heads, ...) and the projection applies per head in one vmap.
+        # "kan_inputs" only materializes on grid-update passes (sown layer
+        # inputs, stacked per head like the params).
         def vmapped(name):
             V = nn.vmap(
                 cls,
                 in_axes=0,
                 out_axes=0,
-                variable_axes={"params": 0},
+                variable_axes={"params": 0, "kan_inputs": 0},
                 split_rngs={"params": True},
                 axis_size=self.n_heads,
             )

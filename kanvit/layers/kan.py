@@ -70,11 +70,27 @@ class KANLinear(nn.Module):
     scale_spline: float = 1.0
     enable_standalone_scale_spline: bool = True
     grid_range: tuple = (-1.0, 1.0)
+    # Adaptive grids (reference ``update_grid``, effkan.py:189-242): when
+    # True the knot grid lives in the param tree (excluded from optimizer
+    # updates by ``create_train_state``'s mask) so the trainer's periodic
+    # ``make_update_grid_step`` can refit it from live activations.
+    stateful_grid: bool = False
 
     def setup(self):
-        self.grid = K.make_bspline_grid(
-            self.in_features, self.grid_size, self.spline_order, self.grid_range
-        )
+        if self.stateful_grid:
+            self.grid = self.param(
+                "grid",
+                lambda key, shape, dtype=jnp.float32: K.make_bspline_grid(
+                    self.in_features, self.grid_size, self.spline_order,
+                    self.grid_range,
+                ).astype(dtype),
+                (self.in_features,
+                 self.grid_size + 2 * self.spline_order + 1),
+            )
+        else:
+            self.grid = K.make_bspline_grid(
+                self.in_features, self.grid_size, self.spline_order, self.grid_range
+            )
         self.base_weight = self.param(
             "base_weight",
             tinit.kaiming_uniform(math.sqrt(5.0) * self.scale_base),
@@ -115,6 +131,11 @@ class KANLinear(nn.Module):
             self.spline_scaler = None
 
     def __call__(self, x):
+        if self.is_mutable_collection("kan_inputs"):
+            # Grid-update pass: expose this layer's flattened input batch so
+            # the trainer can refit the knots (reference effkan.py:189-242
+            # reads self.x inside the module; functional JAX sows it out).
+            self.sow("kan_inputs", "x", x.reshape(-1, x.shape[-1]))
         if dispatch.use_pallas():
             from kanvit.kernels import fused_basis
 
@@ -351,6 +372,7 @@ def make_kan_layer(
     sine_grid_size: int = 5,
     fourier_grid_size: int = 5,
     cheby_degree: int = 4,
+    stateful_grid: bool = False,
     name: Optional[str] = None,
 ) -> nn.Module:
     """Variant-keyed layer factory used by both the patch embedder and MSA.
@@ -362,7 +384,9 @@ def make_kan_layer(
     if kind in ("vanilla", "flash-attn", "linear"):
         return TorchLinear(in_features, out_features, name=name)
     if kind == "efficientkan":
-        return KANLinear(in_features, out_features, name=name)
+        return KANLinear(
+            in_features, out_features, stateful_grid=stateful_grid, name=name
+        )
     if kind == "fast":
         return FastKANLayer(in_features, out_features, name=name)
     if kind == "sine":

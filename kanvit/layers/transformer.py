@@ -19,11 +19,13 @@ class TransformerBlock(nn.Module):
     n_heads: int
     feedforward_dim: int = 128
     attn_type: str = "vanilla"
+    stateful_grid: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        x = x + MSA(self.d_model, self.n_heads, type=self.attn_type, name="attn")(h)
+        x = x + MSA(self.d_model, self.n_heads, type=self.attn_type,
+                    stateful_grid=self.stateful_grid, name="attn")(h)
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = TorchLinear(self.d_model, self.feedforward_dim, name="ff_0")(h)
         h = jax.nn.relu(h)

@@ -49,6 +49,9 @@ class VisionTransformer(nn.Module):
     # pass instead of storing them — trades FLOPs for HBM, the standard
     # scaling lever for deep/large configs (no reference equivalent).
     remat: bool = False
+    # Adaptive B-spline grids (reference update_grid, effkan.py:189-242):
+    # grids become non-trained params the trainer can refit periodically.
+    stateful_grid: bool = False
 
     def setup(self):
         if self.type not in VARIANTS:
@@ -68,6 +71,7 @@ class VisionTransformer(nn.Module):
             sine_grid_size=self.mapper_sine_grid,
             fourier_grid_size=self.mapper_fourier_grid,
             cheby_degree=self.mapper_cheby_degree,
+            stateful_grid=self.stateful_grid,
             name="linear_mapper",
         )
 
@@ -102,6 +106,7 @@ class VisionTransformer(nn.Module):
                     n_heads=self.n_heads,
                     feedforward_dim=4 * self.d_hidden,
                     attn_type=self.type,
+                    stateful_grid=self.stateful_grid,
                     name=f"blocks_{i}",
                 )
                 for i in range(self.n_blocks)

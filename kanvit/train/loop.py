@@ -65,6 +65,10 @@ class TrainConfig:
     h2d_lookahead: int = 0
     limit_train_batches: int | None = None
     limit_eval_batches: int | None = None
+    # Refit B-spline knot grids from live activations every N train steps
+    # (0 = off). Working version of the reference's never-called
+    # KANLinear.update_grid (effkan.py:189-242); efficientkan only.
+    update_grid_every: int = 0
 
 
 def _dataset_model_config(dataset: str):
@@ -105,6 +109,7 @@ def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
         d_hidden=cfg.d_hidden,
         n_heads=cfg.n_heads,
         out_d=num_classes,
+        stateful_grid=cfg.update_grid_every > 0,
     )
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, *chw), jnp.float32)
@@ -209,6 +214,14 @@ def run(cfg: TrainConfig) -> dict:
     eval_step = eval_step.lower(state, sample_x, sample_y).compile()
     log.info("compiled train/eval steps in %.1fs", time.perf_counter() - t0)
 
+    update_grid = None
+    if cfg.update_grid_every > 0:
+        from kanvit.train.grid_update import make_update_grid_step
+
+        update_grid = make_update_grid_step(
+            model.apply, out_shardings=state_shardings
+        )
+
     try:  # progress bars like the reference (train.py:26,31,64)
         from tqdm import tqdm, trange
     except ImportError:  # pragma: no cover
@@ -219,6 +232,7 @@ def run(cfg: TrainConfig) -> dict:
 
     summary = {}
     total_images = 0
+    global_step = 0
     train_t0 = time.perf_counter()
     for epoch in trange(cfg.epochs, desc="train"):
         losses, logit_buf, label_buf = [], [], []
@@ -242,6 +256,12 @@ def run(cfg: TrainConfig) -> dict:
         ):
             if cfg.limit_train_batches and bi >= cfg.limit_train_batches:
                 break
+            if (
+                update_grid is not None
+                and global_step % cfg.update_grid_every == 0
+            ):
+                state = update_grid(state, x)
+            global_step += 1
             state, loss, logits = train_step(state, x, y)
             losses.append(loss)
             logit_buf.append(logits)

@@ -26,4 +26,32 @@ def create_train_state(
 ) -> TrainState:
     params = model.init(rng, sample_input)["params"]
     tx = optax.adam(learning_rate)
+    # Stateful B-spline grids (models built with stateful_grid=True) live in
+    # the param tree so checkpointing/sharding see them, but they are knot
+    # positions, not weights: zero their gradients ahead of Adam — only the
+    # periodic update_grid refit (kanvit.train.grid_update) moves them.
+    # A chained pre-transform (rather than optax.masked) keeps the Adam
+    # moment trees mirroring the param tree exactly, which shard_state and
+    # checkpoint restore both rely on.
+    has_grid = any(
+        str(getattr(path[-1], "key", path[-1])) == "grid"
+        for path, _ in jax.tree_util.tree_leaves_with_path(params)
+    )
+    if has_grid:
+        tx = optax.chain(_zero_grid_grads(), tx)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def _zero_grid_grads() -> optax.GradientTransformation:
+    import jax.numpy as jnp
+
+    def update_fn(updates, opt_state, params=None):
+        updates = jax.tree_util.tree_map_with_path(
+            lambda path, u: jnp.zeros_like(u)
+            if str(getattr(path[-1], "key", path[-1])) == "grid"
+            else u,
+            updates,
+        )
+        return updates, opt_state
+
+    return optax.GradientTransformation(lambda _: optax.EmptyState(), update_fn)

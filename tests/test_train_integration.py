@@ -130,3 +130,47 @@ def test_tensor_parallel_trainer_end_to_end(tmp_path):
                        n_model_shards=2))
     assert np.isfinite(summary["train_loss"])
     assert np.isfinite(summary["test_loss"])
+
+
+def test_update_grid_through_trainer(tmp_path):
+    """--update-grid-every: grids must actually move from their uniform init
+    and training must continue stably afterwards (reference defines
+    update_grid but never calls it, effkan.py:189-242)."""
+    import jax.numpy as jnp
+
+    from kanvit.models import create_model
+    from kanvit.ops import kan_bases as K
+    from kanvit.train.grid_update import make_update_grid_step
+    from kanvit.train.state import create_train_state
+
+    cfg = _cfg(tmp_path, epochs=2, model_type="efficientkan",
+               update_grid_every=3)
+    summary = run(cfg)
+    assert np.isfinite(summary["train_loss"])
+
+    # Direct check that the refit moves the knots: uniform init vs post-
+    # update grid on a skewed activation batch.
+    model = create_model(
+        "efficientkan", chw=(1, 28, 28), n_patches=7, n_blocks=1,
+        d_hidden=32, n_heads=2, out_d=10, stateful_grid=True,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28))
+    )
+    init_grid = np.asarray(state.params["linear_mapper"]["grid"])
+    uniform = np.asarray(K.make_bspline_grid(init_grid.shape[0], 5, 3))
+    assert np.allclose(init_grid, uniform)
+
+    update = make_update_grid_step(model.apply, donate=False)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 1, 28, 28)) * 0.3 + 0.4
+    new_state = update(state, x)
+    new_grid = np.asarray(new_state.params["linear_mapper"]["grid"])
+    assert not np.allclose(new_grid, init_grid)
+    # head-stacked attention grids refit too
+    att = new_state.params["blocks_0"]["attn"]["q_mappings"]["grid"]
+    assert att.ndim == 3 and not np.allclose(
+        np.asarray(att), np.asarray(state.params["blocks_0"]["attn"]["q_mappings"]["grid"])
+    )
+    # the model still evaluates finitely with the refit grids
+    logits = model.apply({"params": new_state.params}, x)
+    assert bool(jnp.isfinite(logits).all())
