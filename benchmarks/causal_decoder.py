@@ -1,0 +1,135 @@
+"""Decoder-regime (causal, long-seq) benchmark through FlashAttentionBlock.
+
+Round-1 gap: the flash kernel's causal path was only exercised at the kernel
+level. This drives it END-TO-END in a model: a decoder-style stack of causal
+``FlashAttentionBlock``s (the reference's module with ``causal=True`` — its
+own causal path, ``utils.py:192-195``, is never exercised by any reference
+caller) trained with a full fwd+CE+bwd+Adam step on long sequences.
+
+Compares the Pallas flash path against the naive XLA attention fallback
+(``KANVIT_IMPL=jnp``) where the latter fits memory. Writes
+benchmarks/causal_decoder.json and prints one JSON line per config.
+
+Usage: python benchmarks/causal_decoder.py [--seqs 2048 8192] [--steps 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_model(dim, heads, n_blocks, vocab):
+    import flax.linen as nn
+    import jax.numpy as jnp
+
+    from kanvit.layers.attention import FlashAttentionBlock
+    from kanvit.layers.kan import TorchLinear
+
+    class CausalDecoder(nn.Module):
+        @nn.compact
+        def __call__(self, tokens):  # (B, T) int32
+            x = nn.Embed(vocab, dim, name="embed")(tokens)
+            for i in range(n_blocks):
+                x = x + FlashAttentionBlock(
+                    dim=dim, heads=heads, dim_head=dim // heads,
+                    causal=True, name=f"blocks_{i}",
+                )(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+            return TorchLinear(dim, vocab, name="lm_head")(x)
+
+    return CausalDecoder()
+
+
+def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kanvit.ops import dispatch
+
+    dispatch.set_impl(impl)
+    model = build_model(dim, heads, n_blocks, vocab)
+    rng = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, vocab)
+    params = model.init(rng, tokens)["params"]
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, toks):
+        logits = model.apply({"params": p}, toks)
+        # next-token CE (decoder objective)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[:, :-1].astype(jnp.float32), toks[:, 1:]
+        ).mean()
+
+    @jax.jit
+    def step(p, o, toks):
+        loss, grads = jax.value_and_grad(loss_fn)(p, toks)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    for _ in range(warmup):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    loss_val = float(loss)  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, tokens)
+    float(loss)
+    dt = time.perf_counter() - t0
+    step_ms = dt / steps * 1000
+    tok_s = batch * seq * steps / dt
+    return dict(seq=seq, batch=batch, impl=impl, step_ms=round(step_ms, 2),
+                tokens_per_sec=round(tok_s, 0), loss=round(loss_val, 4))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--seqs", type=int, nargs="+", default=[2048, 8192])
+    p.add_argument("--dim", type=int, default=256)
+    p.add_argument("--heads", type=int, default=4)
+    p.add_argument("--n-blocks", type=int, default=4)
+    p.add_argument("--vocab", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--tokens-per-batch", type=int, default=2 ** 15,
+                   help="batch = tokens_per_batch // seq (>=1)")
+    p.add_argument("--skip-naive", action="store_true")
+    args = p.parse_args()
+
+    results = []
+    for seq in args.seqs:
+        batch = max(1, args.tokens_per_batch // seq)
+        impls = ["pallas"] if args.skip_naive else ["pallas", "jnp"]
+        for impl in impls:
+            try:
+                r = bench_config(seq, batch, args.dim, args.heads,
+                                 args.n_blocks, args.vocab, args.steps,
+                                 args.warmup, impl)
+            except Exception as e:  # naive path OOMs at long seq — record it
+                r = dict(seq=seq, batch=batch, impl=impl,
+                         error=type(e).__name__, detail=str(e)[:200])
+            print(json.dumps(r), flush=True)
+            results.append(r)
+
+    out = {
+        "model": f"causal decoder: {args.n_blocks} FlashAttentionBlocks "
+                 f"(causal=True), d={args.dim}, {args.heads} heads, "
+                 f"vocab {args.vocab}, next-token CE + Adam",
+        "results": results,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "causal_decoder.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,27 +34,50 @@ GEOM = dict(chw=(3, 32, 32), n_patches=4, n_blocks=8, d_hidden=64,
             n_heads=8, out_d=100)
 
 
-def _data():
+def _data(augment: bool = False):
     from kanvit.data.datasets import load_synthetic
     from kanvit.data.pipeline import CIFAR100_MEAN, CIFAR100_STD, normalize
 
     x_tr, y_tr = load_synthetic((3, 32, 32), 100, train=True)
     x_te, y_te = load_synthetic((3, 32, 32), 100, train=False)
-    x_tr = normalize(x_tr, CIFAR100_MEAN, CIFAR100_STD)
+    if not augment:
+        x_tr = normalize(x_tr, CIFAR100_MEAN, CIFAR100_STD)
     x_te = normalize(x_te, CIFAR100_MEAN, CIFAR100_STD)
     return x_tr.astype(np.float32), y_tr, x_te.astype(np.float32), y_te
 
 
-def _batches(n, batch_size, epochs, seed):
-    """One deterministic batch-order stream shared by both frameworks."""
+def _batch_stream(x_tr, y_tr, batch_size, epochs, seed, augment):
+    """Deterministic per-epoch (x, y) batch lists, identical across both
+    frameworks for a given seed. With --augment this is the trainer's own
+    DataPipeline (flip + pad-4 crop + CIFAR normalize after augmentation) —
+    the exact conditions of the reference-workload run."""
+    if augment:
+        from kanvit.data.pipeline import (
+            CIFAR100_MEAN,
+            CIFAR100_STD,
+            DataPipeline,
+        )
+
+        pipe = DataPipeline(
+            x_tr, y_tr, batch_size, shuffle=True, augment=True,
+            normalize_stats=(CIFAR100_MEAN, CIFAR100_STD), seed=seed,
+        )
+        for _ in range(epochs):
+            yield list(pipe)
+        return
+    n = len(x_tr)
     rng = np.random.default_rng(seed)
     for _ in range(epochs):
         order = rng.permutation(n)
-        yield [order[lo: lo + batch_size]
-               for lo in range(0, n - batch_size + 1, batch_size)]
+        yield [
+            (x_tr[order[lo: lo + batch_size]], y_tr[order[lo: lo + batch_size]])
+            for lo in range(0, n - batch_size + 1, batch_size)
+        ]
 
 
-def run_kanvit(variant, sd, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed):
+def run_kanvit(variant, sd, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed,
+               augment=False):
+    """``sd=None`` keeps kanvit's own init draw (isolates init effects)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,17 +90,17 @@ def run_kanvit(variant, sd, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed):
     state = create_train_state(
         model, jax.random.PRNGKey(seed), jnp.zeros((1, *GEOM["chw"]))
     )
-    state = state.replace(
-        params=jax.tree.map(jnp.asarray, params_from_torch_state_dict(sd))
-    )
+    if sd is not None:
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, params_from_torch_state_dict(sd))
+        )
     step = make_train_step()
     losses = []
-    for epoch_batches in _batches(len(x_tr), batch_size, epochs, seed):
+    for epoch_batches in _batch_stream(x_tr, y_tr, batch_size, epochs, seed,
+                                       augment):
         ep = []
-        for idx in epoch_batches:
-            state, loss, _ = step(
-                state, jnp.asarray(x_tr[idx]), jnp.asarray(y_tr[idx])
-            )
+        for xb, yb in epoch_batches:
+            state, loss, _ = step(state, jnp.asarray(xb), jnp.asarray(yb))
             ep.append(loss)
         losses.append(float(np.mean([float(l) for l in ep])))
         print(f"  kanvit epoch {len(losses)}: loss {losses[-1]:.4f}", flush=True)
@@ -91,19 +114,20 @@ def run_kanvit(variant, sd, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed):
     return float((logits.argmax(-1) == y_te).mean()), losses
 
 
-def run_torch(tmodel, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed):
+def run_torch(tmodel, x_tr, y_tr, x_te, y_te, epochs, batch_size, seed,
+              augment=False):
     import torch
 
     opt = torch.optim.Adam(tmodel.parameters(), lr=1e-3)
     crit = torch.nn.CrossEntropyLoss()
-    xt = torch.tensor(x_tr)
-    yt = torch.tensor(y_tr, dtype=torch.long)
     losses = []
     tmodel.train()
-    for epoch_batches in _batches(len(x_tr), batch_size, epochs, seed):
+    for epoch_batches in _batch_stream(x_tr, y_tr, batch_size, epochs, seed,
+                                       augment):
         ep = []
-        for idx in epoch_batches:
-            loss = crit(tmodel(xt[idx]), yt[idx])
+        for xb, yb in epoch_batches:
+            loss = crit(tmodel(torch.tensor(xb)),
+                        torch.tensor(yb, dtype=torch.long))
             opt.zero_grad(); loss.backward(); opt.step()
             ep.append(float(loss.detach()))
         losses.append(float(np.mean(ep)))
@@ -123,6 +147,15 @@ def main():
     p.add_argument("--variant", default="fast")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-torch", action="store_true")
+    p.add_argument("--init", choices=("torch", "kanvit"), default="torch",
+                   help="'kanvit' keeps kanvit's own init (isolates init "
+                        "effects); implies --skip-torch unless torch runs "
+                        "its own draw")
+    p.add_argument("--augment", action="store_true",
+                   help="train through the trainer's DataPipeline "
+                        "(flip + pad-4 crop + normalize), identical stream "
+                        "in both frameworks — the reference-workload "
+                        "conditions")
     args = p.parse_args()
 
     import torch
@@ -136,15 +169,17 @@ def main():
         d_hidden=GEOM["d_hidden"], n_heads=GEOM["n_heads"],
         out_d=GEOM["out_d"], type=args.variant,
     )
-    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    sd = None if args.init == "kanvit" else {
+        k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()
+    }
 
-    x_tr, y_tr, x_te, y_te = _data()
+    x_tr, y_tr, x_te, y_te = _data(args.augment)
     print(f"synthetic CIFAR-100: {len(x_tr)} train / {len(x_te)} test", flush=True)
 
     t0 = time.time()
     acc_k, losses_k = run_kanvit(
         args.variant, sd, x_tr, y_tr, x_te, y_te,
-        args.epochs, args.batch_size, args.seed,
+        args.epochs, args.batch_size, args.seed, args.augment,
     )
     t_k = time.time() - t0
     print(f"kanvit {args.variant}: test acc {acc_k:.4f} ({t_k:.0f}s)", flush=True)
@@ -152,9 +187,11 @@ def main():
     result = {
         "config": GEOM,
         "recipe": f"Adam 1e-3, CE, batch {args.batch_size}, "
-                  f"{args.epochs} epochs, same torch init, same batch order",
+                  f"{args.epochs} epochs, {args.init} init, same batch order",
         "dataset": "synthetic CIFAR-100-shaped (class prototypes + noise), "
-                   "CIFAR normalization, no augmentation",
+                   "CIFAR normalization, "
+                   + ("flip+crop augmentation (trainer pipeline)"
+                      if args.augment else "no augmentation"),
         "variant": args.variant,
         "kanvit": {"test_accuracy": round(acc_k, 4),
                    "train_losses": [round(l, 4) for l in losses_k],
@@ -164,7 +201,7 @@ def main():
         t0 = time.time()
         acc_r, losses_r = run_torch(
             tmodel, x_tr, y_tr, x_te, y_te, args.epochs, args.batch_size,
-            args.seed,
+            args.seed, args.augment,
         )
         t_r = time.time() - t0
         print(f"torch {args.variant}: test acc {acc_r:.4f} ({t_r:.0f}s)", flush=True)
@@ -173,8 +210,13 @@ def main():
                                "seconds": round(t_r, 1)}
         result["gap"] = round(acc_k - acc_r, 4)
 
+    result["init"] = args.init
+    result["augment"] = args.augment
+    suffix = ("" if args.init == "torch" else "_kanvit_init") + (
+        "_aug" if args.augment else ""
+    )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"fast_anomaly.json")
+                        f"fast_anomaly{suffix}.json")
     with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(f"wrote {path}")
