@@ -1,0 +1,127 @@
+"""Where does the ViT-S efficientkan step spend its time?
+
+Times fwd+bwd of each component at the ViT-S preset's shapes (batch 256,
+196+1 tokens, d=384, 6 heads, bf16) in isolation: the B-spline patch
+embedder (768 -> 384 on ~50k rows), one TransformerBlock (MSA with
+per-head KANLinear q/k/v + shared-basis path, FF pair), and the full model
+step, under both the Pallas dispatch and the forced-jnp path where it fits.
+Guides kernel optimization (dW out-tiling, row-block choices).
+
+Usage: python benchmarks/vits_breakdown.py [--batch 256]
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def timeit(fn, *args, steps=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    loss = jax.tree.leaves(out)[0]
+    float(np.asarray(loss).ravel()[0])  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    loss = jax.tree.leaves(out)[0]
+    float(np.asarray(loss).ravel()[0])
+    return (time.perf_counter() - t0) / steps * 1000  # ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--impls", nargs="+", default=["auto"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from kanvit.layers.kan import KANLinear
+    from kanvit.layers.transformer import TransformerBlock
+    from kanvit.ops import dispatch
+
+    results = {}
+    B, T, D, H = args.batch, 197, 384, 6
+    N_emb = args.batch * 196
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    for impl in args.impls:
+        dispatch.set_impl(impl)
+        rec = {}
+
+        # --- patch embedder: KANLinear 768 -> 384 on N_emb rows
+        emb = KANLinear(768, 384)
+        x_emb = jax.random.normal(jax.random.PRNGKey(0), (N_emb, 768), dt)
+        p_emb = emb.init(jax.random.PRNGKey(1), x_emb)["params"]
+        p_emb = jax.tree.map(lambda a: a.astype(dt), p_emb)
+
+        @jax.jit
+        def emb_step(p, x):
+            def loss(p):
+                return (emb.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
+            l, g = jax.value_and_grad(loss)(p)
+            return l, g
+
+        rec["embedder_fwd_bwd_ms"] = round(timeit(emb_step, p_emb, x_emb,
+                                                  steps=args.steps), 2)
+
+        # --- one transformer block (MSA + FF) at (B, T, D)
+        blk = TransformerBlock(d_model=D, n_heads=H, feedforward_dim=4 * D,
+                               attn_type="efficientkan")
+        x_blk = jax.random.normal(jax.random.PRNGKey(2), (B, T, D), dt)
+        p_blk = blk.init(jax.random.PRNGKey(3), x_blk)["params"]
+        p_blk = jax.tree.map(lambda a: a.astype(dt), p_blk)
+
+        @jax.jit
+        def blk_step(p, x):
+            def loss(p):
+                return (blk.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
+            return jax.value_and_grad(loss)(p)
+
+        rec["block_fwd_bwd_ms"] = round(timeit(blk_step, p_blk, x_blk,
+                                               steps=args.steps), 2)
+        rec["blocks_total_ms"] = round(12 * rec["block_fwd_bwd_ms"], 1)
+
+        # --- full model train step (same as bench.py vit-s preset)
+        from kanvit.models import create_model
+        from kanvit.train.state import create_train_state
+        from kanvit.train.steps import make_train_step
+
+        model = create_model("efficientkan", chw=(3, 224, 224), n_patches=14,
+                             n_blocks=12, d_hidden=D, n_heads=H, out_d=1000)
+        state = create_train_state(
+            model, jax.random.PRNGKey(4), jnp.zeros((1, 3, 224, 224))
+        )
+        step = make_train_step(bf16=args.bf16, donate=False)
+        x = jax.random.normal(jax.random.PRNGKey(5), (B, 3, 224, 224))
+        y = jax.random.randint(jax.random.PRNGKey(6), (B,), 0, 1000)
+        rec["full_step_ms"] = round(
+            timeit(lambda s, x, y: step(s, x, y)[1], state, x, y,
+                   steps=args.steps), 2,
+        )
+        results[impl] = rec
+        print(json.dumps({impl: rec}), flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "vits_breakdown.json")
+    with open(path, "w") as f:
+        json.dump({"batch": B, "bf16": args.bf16, "results": results}, f,
+                  indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -72,3 +72,28 @@ def test_dryrun_multichip_ambient():
         f"stderr={proc.stderr[-2000:]}"
     )
     assert "dryrun_multichip OK" in proc.stdout
+
+
+def test_bench_ambient_contract():
+    """bench.py must print one parseable JSON line under the AMBIENT
+    platform (the driver's exact invocation), not just under the conftest
+    CPU environment."""
+    import json
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORM_NAME", None)
+    flags = [
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    env["XLA_FLAGS"] = " ".join(flags)
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--steps", "2", "--warmup", "1"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 1, proc.stdout
+    rec = json.loads(lines[0])
+    assert rec["unit"] == "images/sec/chip"
+    assert rec["value"] > 0
