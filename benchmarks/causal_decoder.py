@@ -47,7 +47,8 @@ def build_model(dim, heads, n_blocks, vocab):
     return CausalDecoder()
 
 
-def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl):
+def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl,
+                 bf16=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -63,6 +64,11 @@ def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl):
     opt_state = tx.init(params)
 
     def loss_fn(p, toks):
+        if bf16:  # bf16 compute / f32 master params (the trainer's policy)
+            p = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p,
+            )
         logits = model.apply({"params": p}, toks)
         # next-token CE (decoder objective)
         return optax.softmax_cross_entropy_with_integer_labels(
@@ -85,7 +91,8 @@ def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl):
     dt = time.perf_counter() - t0
     step_ms = dt / steps * 1000
     tok_s = batch * seq * steps / dt
-    return dict(seq=seq, batch=batch, impl=impl, step_ms=round(step_ms, 2),
+    return dict(seq=seq, batch=batch, impl=impl, bf16=bf16,
+                step_ms=round(step_ms, 2),
                 tokens_per_sec=round(tok_s, 0), loss=round(loss_val, 4))
 
 
@@ -101,6 +108,7 @@ def main():
     p.add_argument("--tokens-per-batch", type=int, default=2 ** 15,
                    help="batch = tokens_per_batch // seq (>=1)")
     p.add_argument("--skip-naive", action="store_true")
+    p.add_argument("--bf16", action="store_true")
     args = p.parse_args()
 
     results = []
@@ -111,7 +119,7 @@ def main():
             try:
                 r = bench_config(seq, batch, args.dim, args.heads,
                                  args.n_blocks, args.vocab, args.steps,
-                                 args.warmup, impl)
+                                 args.warmup, impl, args.bf16)
             except Exception as e:  # naive path OOMs at long seq — record it
                 r = dict(seq=seq, batch=batch, impl=impl,
                          error=type(e).__name__, detail=str(e)[:200])
@@ -124,8 +132,10 @@ def main():
                  f"vocab {args.vocab}, next-token CE + Adam",
         "results": results,
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "causal_decoder.json")
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "causal_decoder_bf16.json" if args.bf16 else "causal_decoder.json",
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")

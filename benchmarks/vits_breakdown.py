@@ -44,6 +44,7 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--impls", nargs="+", default=["auto"])
+    p.add_argument("--skip-full", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -78,6 +79,49 @@ def main():
         rec["embedder_fwd_bwd_ms"] = round(timeit(emb_step, p_emb, x_emb,
                                                   steps=args.steps), 2)
 
+        # --- MSA alone (per-head KAN q/k/v + attention, no FF)
+        from kanvit.layers.attention import MSA
+
+        msa = MSA(d=D, n_heads=H, type="efficientkan")
+        x_msa = jax.random.normal(jax.random.PRNGKey(7), (B, T, D), dt)
+        p_msa = jax.tree.map(
+            lambda a: a.astype(dt),
+            msa.init(jax.random.PRNGKey(8), x_msa)["params"],
+        )
+
+        @jax.jit
+        def msa_step(p, x):
+            def loss(p):
+                return (msa.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
+            return jax.value_and_grad(loss)(p)
+
+        rec["msa_fwd_bwd_ms"] = round(timeit(msa_step, p_msa, x_msa,
+                                             steps=args.steps), 2)
+
+        # --- FF pair alone (Linear 384 -> 1536 -> 384 + ReLU)
+        from kanvit.layers.kan import TorchLinear
+
+        class FF(__import__("flax").linen.Module):
+            @__import__("flax").linen.compact
+            def __call__(self, x):
+                h = TorchLinear(D, 4 * D, name="fc1")(x)
+                return TorchLinear(4 * D, D, name="fc2")(jax.nn.relu(h))
+
+        ff = FF()
+        p_ff = jax.tree.map(
+            lambda a: a.astype(dt),
+            ff.init(jax.random.PRNGKey(9), x_msa)["params"],
+        )
+
+        @jax.jit
+        def ff_step(p, x):
+            def loss(p):
+                return (ff.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
+            return jax.value_and_grad(loss)(p)
+
+        rec["ff_fwd_bwd_ms"] = round(timeit(ff_step, p_ff, x_msa,
+                                            steps=args.steps), 2)
+
         # --- one transformer block (MSA + FF) at (B, T, D)
         blk = TransformerBlock(d_model=D, n_heads=H, feedforward_dim=4 * D,
                                attn_type="efficientkan")
@@ -94,6 +138,11 @@ def main():
         rec["block_fwd_bwd_ms"] = round(timeit(blk_step, p_blk, x_blk,
                                                steps=args.steps), 2)
         rec["blocks_total_ms"] = round(12 * rec["block_fwd_bwd_ms"], 1)
+
+        if args.skip_full:
+            results[impl] = rec
+            print(json.dumps({impl: rec}), flush=True)
+            continue
 
         # --- full model train step (same as bench.py vit-s preset)
         from kanvit.models import create_model

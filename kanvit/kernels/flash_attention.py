@@ -14,9 +14,13 @@ scores per tile, ``p = exp(s - lse)``, ``ds = p * scale * (dp - delta)`` with
 dq-kernel (accumulating over k blocks) and a dk/dv-kernel (accumulating over
 q blocks) since TPU has no cross-program atomics.
 
-Numerics: all tile math in float32 regardless of input dtype (inputs may be
-bf16); block row sums are clamped at ``EPSILON = 1e-10`` exactly like the
-reference (``utils.py:10,206``).
+Numerics: softmax math (max/exp/sum, accumulators, (m, l) residuals) is
+always float32; the MXU dots keep the *input* dtype for their operands with
+f32 accumulation — with bf16 inputs that is the MXU's native mode (an
+f32xf32 dot costs ~3x bf16 passes on v5e), and the probability/score-grad
+tiles are cast to bf16 only at the dot boundary, as in standard TPU flash
+attention. Block row sums are clamped at ``EPSILON = 1e-10`` exactly like
+the reference (``utils.py:10,206``).
 
 Dispatch: on non-TPU backends falls back to the pure-JAX
 ``flash_attention_reference`` (identical semantics, autodiff backward).
@@ -63,11 +67,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc, m_scr, 
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    # Dtype policy: softmax math stays f32; the MXU dots keep bf16 operands
+    # with f32 accumulation when inputs are bf16 (an f32xf32 dot costs ~3x
+    # bf16 MXU passes on v5e).
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, bk)
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bk) f32
 
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
@@ -95,7 +101,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, m_ref, l_ref, acc, m_scr, 
     l_new = corr * l_scr[:, :1] + block_sum
 
     pv = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     acc[:] = acc[:] * corr + pv
@@ -169,16 +175,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_re
     def _init():
         acc[:] = jnp.zeros_like(acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
     m = m_ref[0, 0][:, None]
     linv = 1.0 / l_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
 
+    # Same dtype policy as the forward: f32 softmax math, input-dtype MXU
+    # operands (bf16 dots with f32 accumulation when inputs are bf16).
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
@@ -192,7 +197,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_re
     p = jnp.where(key_valid, jnp.exp(s - m) * linv, 0.0)
 
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ds = p * scale * (dp - delta)
     if causal:
@@ -201,7 +207,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_re
         # nonzero uniform constant).
         ds = jnp.where(qpos >= kpos, ds, 0.0)
     acc[:] += jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(k_ref.dtype), k_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(j == nk - 1)
@@ -221,16 +228,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_r
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
     m = m_ref[0, 0][:, None]
     linv = 1.0 / l_ref[0, 0][:, None]
     delta = delta_ref[0, 0][:, None]
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale
     kpos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     key_valid = (kpos < tk) & (mask_ref[0] > 0.5)
@@ -240,16 +244,19 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_r
     p = jnp.where(key_valid, jnp.exp(s - m) * linv, 0.0)
 
     dv_acc[:] += jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p.astype(do_ref.dtype), do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ds = p * scale * (dp - delta)
     if causal:
         ds = jnp.where(qpos >= kpos, ds, 0.0)
     dk_acc[:] += jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ds.astype(q_ref.dtype), q_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(i == nq - 1)

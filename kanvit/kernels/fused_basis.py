@@ -30,6 +30,13 @@ Dispatch policy is measurement-driven (see ``_should_fuse`` and
 docs/PERFORMANCE.md): on "auto" only the B-spline family engages the kernel
 (HBM-bound, wins at scale, and enables configs whose XLA path OOMs);
 ``KANVIT_IMPL=pallas`` forces every kernel (tests, escape hatch).
+
+Three kernel tiers by weight size (picked per shape, largest first):
+  1. plain — full (F, out) weight resident in VMEM, 1-D row grid;
+  2. out-blocked — (F, out_blk) weight slabs, grid (out_blocks, rows) with
+     rows innermost (wide embedders, e.g. ViT-S 768->384 where F=6144; bwd
+     writes per-slab partial dx summed in one XLA reduction);
+  3. XLA fallback — extreme widths where even one slab cannot fit.
 """
 
 from __future__ import annotations
@@ -60,13 +67,17 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 
 
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int) -> int:
-    """Largest row block (multiple of 8, <=256) whose unrolled live set
+    """Largest row block (multiple of 8, <=512) whose unrolled live set
     (~n_temps arrays of (bn, in) f32 per g step, plus weights and the dw
-    scratch) fits the budget."""
+    scratch) fits the budget. The cap matters: at narrow widths (the d=64
+    per-head projections) a small block makes the kernel grid-step-overhead
+    bound — thousands of ~50-MFLOP dispatches — so rows go as large as VMEM
+    allows. Per-row temps are (bn, in) tiles whose minor dim pads to the
+    128-lane register width (at in=64 every level costs 2x its size)."""
     fixed = 2 * ng * nin * out * 4  # w3d + dw accumulator
-    per_row = n_temps * ng * nin * 4
+    per_row = n_temps * ng * _round_up(nin, 128) * 4
     bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
-    return int(max(8, min(256, (bn // 8) * 8)))
+    return int(max(8, min(512, (bn // 8) * 8)))
 
 
 def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
@@ -192,8 +203,13 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
     (reference recursion ``effkan.py:115-125``, per-column form).
 
     extras: ``gridT (knots, in)`` in VMEM (transposed so knot rows slice on
-    the second-minor axis). Level lists hold (bn, in) tensors; the derivative
-    levels follow ``B_k' = w1' B + w1 B' + w2' B + w2 B'``.
+    the second-minor axis). Level lists hold (bn, in) tensors. The
+    derivative uses the closed form
+    ``B'_{k,j} = k (B_{k-1,j}/(g_{j+k}-g_j) - B_{k-1,j+1}/(g_{j+k+1}-g_{j+1}))``
+    from the order-(k-1) bases the recursion builds anyway — mathematically
+    identical to differentiating the blend, but it avoids carrying a
+    parallel derivative list through every level (the level live set is
+    what bounds the kernels' row block in VMEM).
     """
     ng = grid_size + spline_order
 
@@ -203,22 +219,26 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
             ((x >= g[j, :]) & (x < g[j + 1, :])).astype(x.dtype)
             for j in range(n0)
         ]
-        db = [jnp.zeros_like(x) for _ in range(n0)] if with_grad else None
+        prev = None
         for k in range(1, spline_order + 1):
-            nb, ndb = [], []
+            nb = []
             for j in range(n0 - k):
-                inv1 = 1.0 / (g[j + k, :] - g[j, :])
-                inv2 = 1.0 / (g[j + k + 1, :] - g[j + 1, :])
-                w1 = (x - g[j, :]) * inv1
-                w2 = (g[j + k + 1, :] - x) * inv2
+                w1 = (x - g[j, :]) / (g[j + k, :] - g[j, :])
+                w2 = (g[j + k + 1, :] - x) / (g[j + k + 1, :] - g[j + 1, :])
                 nb.append(w1 * b[j] + w2 * b[j + 1])
-                if with_grad:
-                    ndb.append(
-                        inv1 * b[j] + w1 * db[j] - inv2 * b[j + 1] + w2 * db[j + 1]
-                    )
-            b = nb
-            if with_grad:
-                db = ndb
+            prev, b = b, nb
+        if not with_grad:
+            return b, None
+        if spline_order == 0:
+            return b, [jnp.zeros_like(x) for _ in b]
+        k = spline_order
+        db = [
+            k * (
+                prev[j] / (g[j + k, :] - g[j, :])
+                - prev[j + 1] / (g[j + k + 1, :] - g[j + 1, :])
+            )
+            for j in range(n0 - k)
+        ]
         return b, db
 
     def setup(x, gridt_ref):
@@ -249,13 +269,23 @@ def _fwd_kernel(*refs, family, nin):
     # Expand each basis slice into a flat (bn, ng*in) VMEM scratch, then one
     # MXU matmul against the flat weight (F, out) — XLA's schedule for the
     # jnp path, minus the HBM round trip for the basis tensor.
+    #
+    # Dtype policy: basis math always runs in f32 (transcendental/recurrence
+    # accuracy), but with bf16 inputs the dot keeps bf16 operands with f32
+    # accumulation — the MXU's native mode. An f32xf32 dot costs ~3x bf16
+    # passes on v5e, so upcasting the operands would throw away most of the
+    # MXU under the --bf16 training policy (and the jnp path under that
+    # policy computes the basis itself in bf16, so this is strictly more
+    # precise).
     x_ref, w_ref, *extra_refs, y_ref, basis_scr = refs
     x = x_ref[:].astype(jnp.float32)
     ctx = family.setup(x, *extra_refs)
     for gi in range(family.ng):
-        basis_scr[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi).astype(
+            basis_scr.dtype
+        )
     y_ref[:] = jax.lax.dot_general(
-        basis_scr[:], w_ref[:].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(y_ref.dtype)
 
@@ -270,44 +300,141 @@ def _bwd_kernel(*refs, family, nin):
         dw_acc[:] = jnp.zeros_like(dw_acc)
 
     x = x_ref[:].astype(jnp.float32)
-    gout = g_ref[:].astype(jnp.float32)  # (bn, out)
+    gout = g_ref[:]  # (bn, out), kept in input dtype for the MXU dots
     ctx = family.setup(x, *extra_refs)
 
     # One matmul for gW = gout @ W^T (bn, F), then per-g elementwise reduce
     # into dx using the closed-form basis derivatives; basis itself goes to
-    # the flat scratch for the dW matmul.
+    # the flat scratch for the dW matmul. Same dtype policy as _fwd_kernel:
+    # f32 basis math, input-dtype dot operands, f32 accumulation.
     gw = jax.lax.dot_general(
-        gout, w_ref[:].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bn, F)
+    )  # (bn, F) f32
     dx = jnp.zeros(x.shape, jnp.float32)
     for gi in range(family.ng):
         b_g, db_g = family.basis_grad(ctx, gi)
-        basis_scr[:, gi * nin : (gi + 1) * nin] = b_g
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b_g.astype(basis_scr.dtype)
         dx += gw[:, gi * nin : (gi + 1) * nin] * db_g
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     dw_acc[:] += jax.lax.dot_general(
-        basis_scr[:], gout, (((0,), (0,)), ((), ())),
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (F, out)
+    )  # (F, out) f32
 
     @pl.when(i == n_i - 1)
     def _finish():
         dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
 
 
+def _fwd_kernel_ob(*refs, family, nin):
+    """Out-blocked forward: grid (out_blocks, row_blocks), rows innermost.
+
+    The (F, out) weight does not fit VMEM at wide-embedder shapes (e.g. the
+    ViT-S 768 -> 384 B-spline mapper, F = 6144), so each grid column holds
+    one (F, out_blk) weight slab — fetched once per out block since the row
+    axis iterates fastest — and the basis is recomputed per out block
+    (mul/add-only; the families are HBM-bound, not compute-bound). Same
+    body math as ``_fwd_kernel``.
+    """
+    x_ref, w_ref, *extra_refs, y_ref, basis_scr = refs
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    for gi in range(family.ng):
+        basis_scr[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi).astype(
+            basis_scr.dtype
+        )
+    y_ref[:] = jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def _bwd_kernel_ob(*refs, family, nin):
+    """Out-blocked backward: grid (out_blocks, row_blocks), rows innermost.
+
+    dW accumulates per-out-block in a (F, out_blk) VMEM scratch (rows are
+    consecutive within an out block, so init at row 0 / flush at the last
+    row is well-defined). dx cannot accumulate across out blocks inside the
+    kernel — a row block's revisits are non-consecutive — so each out block
+    writes its partial ``dxp[j] = sum_g (gout_j @ W_j^T) * dbasis_g`` and the
+    caller sums the (n_ob, N, in) partials in one XLA reduction.
+    """
+    x_ref, w_ref, g_ref, *extra_refs, dxp_ref, dw_ref, basis_scr = refs
+    i = pl.program_id(1)
+
+    # dW accumulates directly in the (F, out_blk) f32 *output* block — row
+    # visits within an out block are consecutive, so the block stays
+    # VMEM-resident; skipping a separate accumulator scratch is what lets
+    # the slab fit the 16MB scoped-VMEM limit alongside the basis levels.
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]  # (bn, out_blk)
+    ctx = family.setup(x, *extra_refs)
+
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F) f32
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for gi in range(family.ng):
+        b_g, db_g = family.basis_grad(ctx, gi)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b_g.astype(basis_scr.dtype)
+        dx += gw[:, gi * nin : (gi + 1) * nin] * db_g
+    dxp_ref[0] = dx.astype(dxp_ref.dtype)
+
+    dw_ref[:] += jax.lax.dot_general(
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# Mosaic's scoped-VMEM stack limit is 16MB; the out-blocked picker budgets
+# against it directly (unlike _pick_row_block's soft budget) because it must
+# model Pallas double-buffering of the streamed blocks, measured to dominate
+# the fixed cost at wide-embedder shapes.
+_VMEM_LIMIT_OB = 13 * 1024 * 1024
+
+
+def _pick_out_block(nin: int, out: int, ng: int, n_temps: int,
+                    w_bytes: int = 4, with_dw: bool = False):
+    """(out_blk, bn) for the out-blocked kernels, or None if even the
+    smallest slab leaves no room for a >=32-row block.
+
+    ``w_bytes``: bytes/elt of the weight slab (2 under the bf16 dot policy).
+    ``with_dw``: backward also holds the (F, out_blk) f32 dw output block.
+    """
+    f = ng * nin
+    for ob in (256, 128):
+        if out <= ob:
+            continue  # blocking is only narrower than the plain kernel
+        fixed = 2 * f * ob * w_bytes  # double-buffered weight slab
+        if with_dw:
+            fixed += 2 * f * ob * 4  # f32 dw block + its copy-out buffer
+        per_row = n_temps * ng * _round_up(nin, 128) * 4
+        bn = int(((_VMEM_LIMIT_OB - fixed) // max(per_row, 1) // 8) * 8)
+        # Floor of 16 (vs the plain kernel's 32): sublane-padded but HBM-
+        # bound at these widths, and far ahead of the XLA fallback.
+        if bn >= 16:
+            return ob, min(bn, 256)
+    return None
+
+
 def _full_vmem_spec(arr):
     ndim = arr.ndim
     return pl.BlockSpec(
-        arr.shape, lambda i, _n=ndim: (0,) * _n, memory_space=pltpu.VMEM
+        arr.shape, lambda *i, _n=ndim: (0,) * _n, memory_space=pltpu.VMEM
     )
 
 
 def _smem_spec(arr):
     ndim = arr.ndim
     return pl.BlockSpec(
-        arr.shape, lambda i, _n=ndim: (0,) * _n, memory_space=pltpu.SMEM
+        arr.shape, lambda *i, _n=ndim: (0,) * _n, memory_space=pltpu.SMEM
     )
 
 
@@ -326,6 +453,87 @@ def _jnp_fwd(x2d, w2d, extras, family, nin):
     return y.astype(x2d.dtype)
 
 
+def _dot_dtype(x2d, w3d):
+    """bf16 dot operands (f32 accumulate) when both inputs are bf16 — the
+    MXU's native mode; f32 otherwise (tests, f32 training)."""
+    if x2d.dtype == jnp.bfloat16 and w3d.dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _fused_fwd_ob(x2d, w3d, extras, extra_specs, family, ob, bn):
+    """Out-blocked forward (see ``_fwd_kernel_ob``). Grid (out, rows)."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    f = ng * nin
+    bn = min(bn, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    op_ = _round_up(out, ob)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    w2d = jnp.pad(w3d.reshape(f, out), ((0, 0), (0, op_ - out)))
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel_ob, family=family, nin=nin),
+        grid=(op_ // ob, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, ob), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec(
+            (bn, ob), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((np_, op_), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, *extras)
+    return y[:n, :out]
+
+
+def _fused_bwd_ob(x2d, w3d, g, extras, extra_specs, family, ob, bn):
+    """Out-blocked backward (see ``_bwd_kernel_ob``). Returns (dx, dw)."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    f = ng * nin
+    bn = min(bn, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    op_ = _round_up(out, ob)
+    n_ob = op_ // ob
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, op_ - out)))
+    w2d = jnp.pad(w3d.reshape(f, out), ((0, 0), (0, op_ - out)))
+    dxp, dw2d = pl.pallas_call(
+        functools.partial(_bwd_kernel_ob, family=family, nin=nin),
+        grid=(n_ob, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, ob), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, ob), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, bn, nin), lambda j, i: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((f, ob), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_ob, np_, nin), jnp.float32),
+            jax.ShapeDtypeStruct((f, op_), jnp.float32),  # in-block dw acc
+        ],
+        scratch_shapes=[pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, gp, *extras)
+    dx = jnp.sum(dxp, axis=0)[:n].astype(x2d.dtype)
+    dw2d = dw2d[:, :out].astype(w3d.dtype)
+    return dx, dw2d.reshape(ng, nin, out)
+
+
 def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
     n, nin = x2d.shape
@@ -333,6 +541,12 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     f = ng * nin
     bn = min(_pick_row_block(nin, out, ng, n_temps=2), _round_up(n, 8))
     if bn < 32:
+        obn = _pick_out_block(
+            nin, out, ng, n_temps=4,
+            w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
+        )
+        if obn is not None:
+            return _fused_fwd_ob(x2d, w3d, extras, extra_specs, family, *obn)
         extras_arrays = tuple(jnp.asarray(e) for e in extras)
         return _jnp_fwd(x2d, w3d.reshape(f, out), extras_arrays, family, nin)
     np_ = _round_up(n, bn)
@@ -348,7 +562,7 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
         ],
         out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, out), x2d.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, f), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -384,7 +598,13 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     f = ng * nin
     bn = min(_pick_row_block(nin, out, ng, n_temps=3), _round_up(n, 8))
     if bn < 32:
-        # dw accumulator too large for VMEM scratch — XLA backward instead.
+        obn = _pick_out_block(
+            nin, out, ng, n_temps=4, with_dw=True,
+            w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
+        )
+        if obn is not None:
+            return _fused_bwd_ob(x2d, w3d, g, extras, extra_specs, family, *obn)
+        # dw accumulator too large even per out slab — XLA backward instead.
         extras_arrays = tuple(jnp.asarray(e) for e in extras)
         dx, dw2d = _jnp_bwd(x2d, w3d.reshape(f, out), g, extras_arrays, family, nin)
         return dx, dw2d.reshape(ng, nin, out)
@@ -410,7 +630,7 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
             jax.ShapeDtypeStruct((f, out), w3d.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bn, f), jnp.float32),
+            pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d)),
             pltpu.VMEM((f, out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

@@ -167,7 +167,7 @@ def test_flash_attention_kernel_masked():
 
 
 def test_flash_attention_kernel_bf16_inputs():
-    """bf16 q/k/v: kernel computes in f32 internally, returns bf16."""
+    """bf16 q/k/v: f32 softmax math, bf16 MXU operands, returns bf16."""
     from kanvit.kernels.flash_attention import flash_attention
 
     key = jax.random.PRNGKey(9)
@@ -203,12 +203,24 @@ def test_fused_bspline_bf16_inputs(x):
     assert np.abs(np.asarray(y, np.float32) - np.asarray(ref)).max() < 2e-2
 
 
-def test_fused_bspline_wide_embedder_fallbacks():
-    """At (in=768, out=384) the fixed VMEM live set (weights + scratch)
-    exceeds the budget: the forward must degrade to the XLA fallback
-    (instead of erroring at Mosaic compile time) and the custom VJP must
-    route backward through _jnp_bwd — both still matching ground truth."""
+def test_fused_bspline_wide_embedder_out_blocked():
+    """At (in=768, out=384) the full (F, out) weight exceeds the VMEM
+    budget: fwd and bwd must route through the out-blocked kernels (grid
+    over (out_blocks, row_blocks), partial-dx reduction) — matching ground
+    truth. Extreme widths where even one out slab cannot fit still degrade
+    to the XLA fallbacks."""
     from kanvit.kernels import fused_basis as FB
+
+    # The ViT-S embedder shape: plain kernel can't fit; fwd goes out-blocked
+    # in both dtypes, bwd goes out-blocked under the bf16 dot policy and
+    # falls back to XLA in f32 (the f32 weight slab + f32 dw block leave no
+    # VMEM for rows).
+    assert FB._pick_row_block(768, 384, 8, 2) < 32
+    assert FB._pick_out_block(768, 384, 8, n_temps=4, w_bytes=4) is not None
+    assert FB._pick_out_block(768, 384, 8, n_temps=4, w_bytes=2) is not None
+    assert FB._pick_out_block(
+        768, 384, 8, n_temps=5, w_bytes=2, with_dw=True
+    ) is not None
 
     key = jax.random.PRNGKey(11)
     k1, k2, k3, k4 = jax.random.split(key, 4)
