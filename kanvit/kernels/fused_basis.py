@@ -42,6 +42,7 @@ Three kernel tiers by weight size (picked per shape, largest first):
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -62,22 +63,39 @@ from kanvit.ops import kan_bases as K
 # it above a row threshold. KANVIT_IMPL=pallas forces every kernel.
 # VMEM live-set budget for picking the row block. Mosaic keeps the unrolled
 # per-g temporaries on its scoped stack, so the working set scales with
-# ng * bn * in; v5e scoped VMEM is 16MB.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# ng * bn * in; v5e scoped VMEM is 16MB. The model below accounts for the
+# levels, the basis scratch, the resident weight/dw blocks AND the
+# double-buffered streamed io blocks, so the budget can sit close to the
+# hardware limit.
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_row_block(nin: int, out: int, ng: int, n_temps: int) -> int:
+def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
+                    w_bytes: int = 4, with_dw: bool = True,
+                    scr_bytes: int = 4, stream_bytes: int = 0) -> int:
     """Largest row block (multiple of 8, <=512) whose unrolled live set
-    (~n_temps arrays of (bn, in) f32 per g step, plus weights and the dw
-    scratch) fits the budget. The cap matters: at narrow widths (the d=64
-    per-head projections) a small block makes the kernel grid-step-overhead
-    bound — thousands of ~50-MFLOP dispatches — so rows go as large as VMEM
-    allows. Per-row temps are (bn, in) tiles whose minor dim pads to the
-    128-lane register width (at in=64 every level costs 2x its size)."""
-    fixed = 2 * ng * nin * out * 4  # w3d + dw accumulator
-    per_row = n_temps * ng * _round_up(nin, 128) * 4
+    (~n_temps arrays of (bn, in) f32 per g step, plus the basis scratch row
+    and the resident weight/dw blocks) fits the budget. The cap matters: at
+    narrow widths (the d=64 per-head projections) a small block makes the
+    kernel grid-step-overhead bound — thousands of ~50-MFLOP dispatches — so
+    rows go as large as VMEM allows. Per-row temps are (bn, in) tiles whose
+    minor dim pads to the 128-lane register width (at in=64 every level
+    costs 2x its size; see ``_row_pack`` which removes that waste).
+
+    ``w_bytes``: bytes/elt of the resident (F, out) weight (2 when the
+    params ride bf16 under the mixed-precision policy — that is what lets
+    the ViT-S 768->384 embedder *forward* keep the whole weight in VMEM).
+    ``with_dw``: backward also holds the f32 (F, out) dw accumulator.
+    ``scr_bytes``: bytes/elt of the (bn, F) basis scratch (2 under the bf16
+    dot policy).
+    ``stream_bytes``: per-row bytes of the double-buffered streamed blocks
+    (x in, y/g/dx out) — these ride VMEM alongside the live set."""
+    fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0))
+    per_row = (n_temps * ng * _round_up(nin, 128) * 4
+               + ng * nin * scr_bytes    # basis scratch
+               + stream_bytes)           # double-buffered io blocks
     bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
-    return int(max(8, min(512, (bn // 8) * 8)))
+    return int(max(8, min(1024, (bn // 8) * 8)))
 
 
 def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
@@ -198,7 +216,8 @@ def rbf_family(num_grids: int, denominator: float) -> Family:
     return Family(num_grids, setup, basis, basis_grad)
 
 
-def bspline_family(grid_size: int, spline_order: int) -> Family:
+def bspline_family(grid_size: int, spline_order: int,
+                   with_base: bool = False) -> Family:
     """Cox–de Boor levels built once per tile and shared across output knots
     (reference recursion ``effkan.py:115-125``, per-column form).
 
@@ -210,21 +229,35 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
     identical to differentiating the blend, but it avoids carrying a
     parallel derivative list through every level (the level live set is
     what bounds the kernels' row block in VMEM).
+
+    ``with_base``: append ``silu(x)`` as one extra basis slice so the
+    KANLinear base branch (``silu(x) @ base_weight.T``, ``effkan.py:161``)
+    rides the same expand-and-contract dot instead of a separate XLA
+    matmul chain — measured ~1.9 ms of the ViT-S qkv projection when left
+    outside (six tiny HBM-bound matmuls plus their backwards). The caller
+    stacks ``base_weight`` as the last ``w3d`` slice.
     """
-    ng = grid_size + spline_order
+    ng = grid_size + spline_order + (1 if with_base else 0)
+    n_spline = grid_size + spline_order
 
     def _levels(x, g, with_grad):
         n0 = grid_size + 2 * spline_order  # number of order-0 bases
+        # Knot rows and the per-level knot-difference reciprocals are
+        # (in,)-sized constants: computing them once per tile keeps every
+        # (bn, in) level op mul/add-only (VPU division is many times a mul,
+        # and the naive form spends two big-tile divisions per blend).
+        rows = [g[j, :] for j in range(n0 + 1)]
         b = [
-            ((x >= g[j, :]) & (x < g[j + 1, :])).astype(x.dtype)
+            ((x >= rows[j]) & (x < rows[j + 1])).astype(x.dtype)
             for j in range(n0)
         ]
-        prev = None
+        prev, inv = None, None
         for k in range(1, spline_order + 1):
+            inv = [1.0 / (rows[j + k] - rows[j]) for j in range(n0 - k + 1)]
             nb = []
             for j in range(n0 - k):
-                w1 = (x - g[j, :]) / (g[j + k, :] - g[j, :])
-                w2 = (g[j + k + 1, :] - x) / (g[j + k + 1, :] - g[j + 1, :])
+                w1 = (x - rows[j]) * inv[j]
+                w2 = (rows[j + k + 1] - x) * inv[j + 1]
                 nb.append(w1 * b[j] + w2 * b[j + 1])
             prev, b = b, nb
         if not with_grad:
@@ -233,10 +266,7 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
             return b, [jnp.zeros_like(x) for _ in b]
         k = spline_order
         db = [
-            k * (
-                prev[j] / (g[j + k, :] - g[j, :])
-                - prev[j + 1] / (g[j + k + 1, :] - g[j + 1, :])
-            )
+            k * (prev[j] * inv[j] - prev[j + 1] * inv[j + 1])
             for j in range(n0 - k)
         ]
         return b, db
@@ -250,11 +280,23 @@ def bspline_family(grid_size: int, spline_order: int) -> Family:
             ctx["cache"][key] = _levels(ctx["x"], ctx["g"], with_grad)
         return ctx["cache"][key]
 
+    def _silu(ctx):
+        if "sig" not in ctx["cache"]:
+            ctx["cache"]["sig"] = jax.nn.sigmoid(ctx["x"])
+        return ctx["x"] * ctx["cache"]["sig"]
+
     def basis(ctx, gi):
+        if with_base and gi == n_spline:
+            return _silu(ctx)
         b, _ = _ensure(ctx, False)
         return b[gi]
 
     def basis_grad(ctx, gi):
+        if with_base and gi == n_spline:
+            s = _silu(ctx)
+            sig = ctx["cache"]["sig"]
+            # silu'(x) = sig + x sig (1 - sig)
+            return s, sig + s * (1.0 - sig)
         b, db = _ensure(ctx, True)
         return b[gi], db[gi]
 
@@ -539,7 +581,14 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     f = ng * nin
-    bn = min(_pick_row_block(nin, out, ng, n_temps=2), _round_up(n, 8))
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    xb = x2d.dtype.itemsize
+    stream = 2 * (_round_up(nin, 128) * xb + _round_up(out, 128) * xb)
+    bn = min(
+        _pick_row_block(nin, out, ng, n_temps=2, w_bytes=w3d.dtype.itemsize,
+                        with_dw=False, scr_bytes=db, stream_bytes=stream),
+        _round_up(n, 8),
+    )
     if bn < 32:
         obn = _pick_out_block(
             nin, out, ng, n_temps=4,
@@ -596,7 +645,17 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     f = ng * nin
-    bn = min(_pick_row_block(nin, out, ng, n_temps=3), _round_up(n, 8))
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    xb = x2d.dtype.itemsize
+    stream = 2 * (
+        _round_up(nin, 128) * (xb + xb)            # x in, dx out
+        + _round_up(out, 128) * g.dtype.itemsize   # g in
+    )
+    bn = min(
+        _pick_row_block(nin, out, ng, n_temps=3, w_bytes=w3d.dtype.itemsize,
+                        with_dw=True, scr_bytes=db, stream_bytes=stream),
+        _round_up(n, 8),
+    )
     if bn < 32:
         obn = _pick_out_block(
             nin, out, ng, n_temps=4, with_dw=True,
@@ -645,19 +704,22 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
 # Per-family custom-VJP ops over (x2d, w3d[, extras])
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _bspline_op(x2d, w3d, gridt, grid_size, spline_order):
-    fam = bspline_family(grid_size, spline_order)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _bspline_op(x2d, w3d, gridt, grid_size, spline_order, with_base=False):
+    fam = bspline_family(grid_size, spline_order, with_base)
     return _fused_fwd(x2d, w3d, (gridt,), (_full_vmem_spec(gridt),), fam)
 
 
-def _bspline_op_fwd(x2d, w3d, gridt, grid_size, spline_order):
-    return _bspline_op(x2d, w3d, gridt, grid_size, spline_order), (x2d, w3d, gridt)
+def _bspline_op_fwd(x2d, w3d, gridt, grid_size, spline_order, with_base=False):
+    return (
+        _bspline_op(x2d, w3d, gridt, grid_size, spline_order, with_base),
+        (x2d, w3d, gridt),
+    )
 
 
-def _bspline_op_bwd(grid_size, spline_order, res, g):
+def _bspline_op_bwd(grid_size, spline_order, with_base, res, g):
     x2d, w3d, gridt = res
-    fam = bspline_family(grid_size, spline_order)
+    fam = bspline_family(grid_size, spline_order, with_base)
     dx, dw = _fused_bwd(x2d, w3d, g, (gridt,), (_full_vmem_spec(gridt),), fam)
     return dx, dw, jnp.zeros_like(gridt)
 
@@ -752,6 +814,43 @@ _cheby_op.defvjp(_cheby_op_fwd, _cheby_op_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Row packing for narrow inputs
+# ---------------------------------------------------------------------------
+#
+# VPU registers are 128 lanes wide: every (bn, in) basis level at in=64 (the
+# ViT d_head projections) wastes half its lanes, and the basis math — not
+# the dots — is what dominates these kernels. Packing p = 128/in consecutive
+# rows into one kernel row makes every tile full-lane and cuts grid steps
+# p-fold; the weight becomes block-diagonal (packed row r's features feed
+# only output columns [r*out, (r+1)*out)), which costs p x the (tiny) dot
+# flops. Exact because all basis families are elementwise per input feature.
+# The transforms live OUTSIDE the custom-VJP ops, so autodiff differentiates
+# the pad/reshape/scatter and the packed dw folds back automatically.
+
+def _row_pack_factor(nin: int) -> int:
+    if os.environ.get("KANVIT_PACK", "1") == "0":  # benchmarking escape hatch
+        return 1
+    if nin < 128 and 128 % nin == 0:
+        return 128 // nin
+    return 1
+
+
+def _pack_w3d(w3d, p):
+    ng, nin, out = w3d.shape
+    w2 = jnp.zeros((ng, p * nin, p * out), w3d.dtype)
+    for r in range(p):
+        w2 = w2.at[:, r * nin:(r + 1) * nin, r * out:(r + 1) * out].set(w3d)
+    return w2
+
+
+def _packed_rows(xf, p):
+    n = xf.shape[0]
+    np_ = _round_up(n, p)
+    xp = jnp.pad(xf, ((0, np_ - n), (0, 0)))
+    return xp.reshape(np_ // p, -1), np_
+
+
+# ---------------------------------------------------------------------------
 # Layer-facing entry points (same signatures as kanvit.ops.kan_bases)
 # ---------------------------------------------------------------------------
 
@@ -770,9 +869,19 @@ def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order
         if spline_scaler is not None
         else spline_weight
     )
-    w3d = scaled.transpose(2, 1, 0)  # (ng, in, out)
-    spline = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order)
-    y = jax.nn.silu(xf) @ base_weight.T + spline
+    # Base branch rides the kernel as one extra basis slice (silu(x)) with
+    # base_weight as the last w3d row — no separate XLA matmul chain.
+    w3d = jnp.concatenate(
+        [scaled.transpose(2, 1, 0), base_weight.T[None]], axis=0
+    )  # (ng + 1, in, out)
+    p = _row_pack_factor(nin)
+    if p > 1:
+        xp, np_ = _packed_rows(xf, p)
+        y = _bspline_op(xp, _pack_w3d(w3d, p), jnp.tile(grid.T, (1, p)),
+                        ng - spline_order, spline_order, True)
+        y = y.reshape(np_, out)[: xf.shape[0]]
+    else:
+        y = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order, True)
     return y.reshape(*lead, out)
 
 
@@ -791,7 +900,15 @@ def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
     # LayerNorm stays outside the custom VJP: XLA fuses and differentiates it.
     ln = xf if ln_gamma is None else K.layernorm(xf, ln_gamma, ln_beta)
     w3d = spline_weight.reshape(out, nin, ng).transpose(2, 1, 0)
-    y = _rbf_op(ln, w3d, rbf_grid.reshape(1, -1), ng, float(rbf_denominator))
+    p = _row_pack_factor(nin)
+    if p > 1:
+        lnp, np_ = _packed_rows(ln, p)
+        # The RBF grid is global (not per input feature): no tiling needed.
+        y = _rbf_op(lnp, _pack_w3d(w3d, p), rbf_grid.reshape(1, -1), ng,
+                    float(rbf_denominator))
+        y = y.reshape(np_, out)[: xf.shape[0]]
+    else:
+        y = _rbf_op(ln, w3d, rbf_grid.reshape(1, -1), ng, float(rbf_denominator))
     if base_weight is not None:
         y = y + jax.nn.silu(xf) @ base_weight.T + base_bias
     return y.reshape(*lead, out)
@@ -806,7 +923,14 @@ def sinekan(x, freq, phase, amplitudes, bias):
     if not _should_fuse(xf.shape[0], nin * ng):
         return K.sinekan_forward(x, freq, phase, amplitudes, bias)
     w3d = amplitudes.transpose(2, 1, 0)  # (ng, in, out)
-    y = _sine_op(xf, w3d, freq.reshape(1, -1), phase.T, ng)
+    p = _row_pack_factor(nin)
+    if p > 1:
+        xp, np_ = _packed_rows(xf, p)
+        y = _sine_op(xp, _pack_w3d(w3d, p), freq.reshape(1, -1),
+                     jnp.tile(phase.T, (1, p)), ng)
+        y = y.reshape(np_, out)[: xf.shape[0]]
+    else:
+        y = _sine_op(xf, w3d, freq.reshape(1, -1), phase.T, ng)
     if bias is not None:
         y = y + bias
     return y.reshape(*lead, out)
@@ -821,7 +945,13 @@ def fourierkan(x, coeffs, bias):
         return K.fourierkan_forward(x, coeffs, bias)
     # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
     w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)
-    y = _fourier_op(xf, w3d, grid_size)
+    p = _row_pack_factor(nin)
+    if p > 1:
+        xp, np_ = _packed_rows(xf, p)
+        y = _fourier_op(xp, _pack_w3d(w3d, p), grid_size)
+        y = y.reshape(np_, out)[: xf.shape[0]]
+    else:
+        y = _fourier_op(xf, w3d, grid_size)
     if bias is not None:
         y = y + bias
     return y.reshape(*lead, out)
@@ -834,5 +964,11 @@ def chebykan(x, coeffs):
     if not _should_fuse(xf.shape[0], nin * deg1):
         return K.chebykan_forward(x, coeffs)
     w3d = coeffs.transpose(2, 0, 1)  # (deg+1, in, out)
-    y = _cheby_op(xf, w3d, deg1 - 1)
+    p = _row_pack_factor(nin)
+    if p > 1:
+        xp, np_ = _packed_rows(xf, p)
+        y = _cheby_op(xp, _pack_w3d(w3d, p), deg1 - 1)
+        y = y.reshape(np_, out)[: xf.shape[0]]
+    else:
+        y = _cheby_op(xf, w3d, deg1 - 1)
     return y.reshape(*lead, out)
