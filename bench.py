@@ -52,6 +52,66 @@ def _peak_flops(device) -> float | None:
     return None
 
 
+def _analytic_flops(model_type: str, geom: dict, batch: int) -> float:
+    """Useful model FLOPs per training step (fwd + bwd), analytic.
+
+    XLA's ``cost_analysis`` cannot see inside Pallas custom calls, so it
+    under-counts exactly the ops this framework moves into kernels; MFU is
+    therefore computed from this analytic count of the *model's* math (the
+    standard MFU convention — implementation overheads like basis
+    recomputation or padding don't inflate it).
+
+    Per-variant KAN layer cost: a ``nin -> nout`` layer contracts an
+    ``(E + base) * nin``-wide basis (E = basis functions per input feature,
+    base = 1 when a silu base branch exists) against the weight:
+    ``2 * rows * (E+base) * nin * nout`` FLOPs. Constants follow the
+    call-site parity values (mapper sine/fourier grid 28, cheby degree 4,
+    KANLinear grid 5 + order 3, FastKAN 8 RBF grids, sine grid 4 in MSA).
+    Backward of every matmul costs 2x its forward.
+    """
+    c, h, w = geom["chw"]
+    n_p, L = geom["n_patches"], geom["n_blocks"]
+    d, n_heads, out_d = geom["d_hidden"], geom["n_heads"], geom["out_d"]
+    t = n_p * n_p + 1
+    rows_embed = batch * (t - 1)
+    rows_tok = batch * t
+    d_head = d // n_heads
+    patch_dim = c * (h // n_p) * (w // n_p)
+
+    def kan(rows, nin, nout, in_msa):
+        if model_type in ("vanilla", "flash-attn") or (
+            model_type == "fourier" and in_msa
+        ):
+            e = 1.0
+        elif model_type == "efficientkan":
+            e = 8 + 1  # grid 5 + order 3 splines, + silu base branch
+        elif model_type == "fast":
+            e = 8 + 1  # 8 RBF grids + silu base branch
+        elif model_type == "sine":
+            e = 4.0 if in_msa else 28.0
+        elif model_type == "fourier":
+            e = 2 * 28.0  # cos + sin harmonics
+        elif model_type == "cheby":
+            e = 5.0  # degree 4 -> T_0..T_4
+        else:
+            e = 1.0
+        return 2.0 * rows * e * nin * nout
+
+    fwd = kan(rows_embed, patch_dim, d, in_msa=False)  # patch embedder
+    if model_type == "flash-attn":
+        # Raw flash blocks: to_q (d->d), to_kv (d->2d), to_out (d->d).
+        per_block = 2.0 * rows_tok * d * 4 * d
+        per_block += 2.0 * 2 * batch * n_heads * t * t * d_head
+        fwd += L * per_block
+    else:
+        per_block = 3 * n_heads * kan(rows_tok, d_head, d_head, in_msa=True)
+        per_block += 2.0 * 2 * batch * n_heads * t * t * d_head  # qk^T, pv
+        per_block += 2.0 * 2 * rows_tok * d * 4 * d  # FF pair
+        fwd += L * per_block
+    fwd += 2.0 * batch * d * out_d  # mlp head
+    return 3.0 * fwd  # + backward at 2x forward
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="efficientkan")
@@ -80,8 +140,9 @@ def main():
         jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
     )
 
-    # AOT-compile so we can read XLA's own FLOP count for the whole fused
-    # step (fwd + CE + bwd + Adam) — the basis for the MFU figure.
+    # AOT-compile so we can also read XLA's own FLOP count for the whole
+    # fused step (fwd + CE + bwd + Adam) — reported alongside the analytic
+    # model-FLOPs figure that MFU is based on.
     step = step.lower(state, x, y).compile()
     flops = None
     try:
@@ -118,9 +179,13 @@ def main():
             vs = round(ips / ref, 2)
 
     peak = _peak_flops(jax.devices()[0])
+    flops_model = _analytic_flops(args.model_type, geom, args.batch_size)
     mfu = None
+    if flops_model and peak:
+        mfu = round(flops_model / (step_ms / 1000) / (peak * n_chips), 4)
+    mfu_xla = None
     if flops and peak:
-        mfu = round(flops / (step_ms / 1000) / (peak * n_chips), 4)
+        mfu_xla = round(flops / (step_ms / 1000) / (peak * n_chips), 4)
 
     name = "mnist" if args.preset == "reference" else args.preset
     print(json.dumps({
@@ -132,8 +197,10 @@ def main():
         "batch_size": args.batch_size,
         "device": str(jax.devices()[0]),
         "bf16": args.bf16,
-        "flops_per_step": flops,
+        "flops_per_step": flops_model,
         "mfu": mfu,
+        "flops_per_step_xla": flops,   # HLO-visible only (excludes Pallas)
+        "mfu_xla": mfu_xla,
         "peak_flops_bf16": peak,
     }))
 
