@@ -576,6 +576,177 @@ def _fused_bwd_ob(x2d, w3d, g, extras, extra_specs, family, ob, bn):
     return dx, dw2d.reshape(ng, nin, out)
 
 
+# Cap on the (N, F) basis residual the split backward may park in HBM.
+_SPLIT_HBM_CAP = 1536 * 1024 * 1024
+
+
+def _bwd_plain_bn(n, nin, ng, out, xb, wb, db):
+    stream = 2 * (
+        _round_up(nin, 128) * (xb + xb)    # x in, dx out
+        + _round_up(out, 128) * xb         # g in (cotangent rides y dtype)
+    )
+    return min(
+        _pick_row_block(nin, out, ng, n_temps=3, w_bytes=wb, with_dw=True,
+                        scr_bytes=db, stream_bytes=stream),
+        _round_up(n, 8),
+    )
+
+
+def _dx_row_block(n, nin, ng, out, xb, wb):
+    """Row block for the dx-only kernel: full (F, out) weight resident,
+    per-row live set = (bn, F) f32 gw + grad levels + streamed io."""
+    f = ng * nin
+    fixed = f * out * wb
+    per_row = (
+        f * 4                                       # gw (bn, F) f32
+        + 3 * ng * _round_up(nin, 128) * 4          # grad-level temps
+        + 2 * (2 * _round_up(nin, 128) * xb + _round_up(out, 128) * xb)
+    )
+    bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+    return int(max(8, min(512, (bn // 8) * 8)))
+
+
+def _bwd_strategy(n, nin, ng, out, xb, wb, db) -> str:
+    """Backward implementation for a (N, in) x (ng, in, out) layer:
+
+    - "plain": single joint kernel, full weight + f32 dw accumulator in
+      VMEM (narrow/medium layers).
+    - "split": forward emits the (N, F) basis to HBM as a residual; dx is a
+      row-grid kernel with the weight resident (no basis needed), dw is one
+      XLA matmul basis^T @ g. For wide layers (the ViT-S 768 -> 384
+      embedder) this replaces the out-blocked joint kernel, which pays a
+      full basis recompute per out slab.
+    - "ob": out-blocked joint kernel (weight slabs; basis recomputed per
+      slab) when the basis residual would be too large.
+    - "xla": pure-XLA fallback for shapes beyond all kernel tiers.
+    """
+    if _bwd_plain_bn(n, nin, ng, out, xb, wb, db) >= 32:
+        return "plain"
+    if (
+        n >= 1024
+        and n * ng * nin * db <= _SPLIT_HBM_CAP
+        and min(_dx_row_block(n, nin, ng, out, xb, wb), _round_up(n, 8)) >= 32
+    ):
+        return "split"
+    if _pick_out_block(nin, out, ng, n_temps=4, with_dw=True, w_bytes=db):
+        return "ob"
+    return "xla"
+
+
+def _fwd_kernel_basis(*refs, family, nin):
+    """Forward that also writes the (bn, F) basis block to HBM (the split
+    backward's residual). Same math as ``_fwd_kernel`` with the scratch
+    promoted to an output."""
+    x_ref, w_ref, *extra_refs, y_ref, b_ref = refs
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    for gi in range(family.ng):
+        b_ref[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi).astype(
+            b_ref.dtype
+        )
+    y_ref[:] = jax.lax.dot_general(
+        b_ref[:], w_ref[:].astype(b_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def _dx_kernel(*refs, family, nin):
+    """dx-only backward: gw = g @ W^T then dx = sum_g gw_g * dbasis_g.
+    No basis scratch and no dw accumulator — the full weight fits VMEM at
+    shapes where the joint kernel cannot."""
+    x_ref, w_ref, g_ref, *extra_refs, dx_ref = refs
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    ctx = family.setup(x, *extra_refs)
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F) f32
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for gi in range(family.ng):
+        _, db_g = family.basis_grad(ctx, gi)
+        dx += gw[:, gi * nin : (gi + 1) * nin] * db_g
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _fused_fwd_basis(x2d, w3d, extras, extra_specs, family):
+    """Forward returning (y (N, out), basis (N, F)) for the split backward."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    f = ng * nin
+    bd = _dot_dtype(x2d, w3d)
+    db = jnp.dtype(bd).itemsize
+    xb = x2d.dtype.itemsize
+    stream = 2 * (
+        _round_up(nin, 128) * xb + _round_up(out, 128) * xb + f * db
+    )
+    bn = min(
+        _pick_row_block(nin, out, ng, n_temps=2, w_bytes=w3d.dtype.itemsize,
+                        with_dw=False, scr_bytes=0, stream_bytes=stream),
+        _round_up(n, 8),
+    )
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    y, basis = pl.pallas_call(
+        functools.partial(_fwd_kernel_basis, family=family, nin=nin),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, f), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, out), x2d.dtype),
+            jax.ShapeDtypeStruct((np_, f), bd),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d.reshape(f, out), *extras)
+    return y[:n], basis[:n]
+
+
+def _fused_bwd_split(x2d, w3d, g, basis, extras, extra_specs, family):
+    """Split backward (see ``_bwd_strategy``): Pallas dx + XLA dw."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    f = ng * nin
+    xb = x2d.dtype.itemsize
+    bn = min(
+        _dx_row_block(n, nin, ng, out, xb, w3d.dtype.itemsize),
+        _round_up(n, 8),
+    )
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel, family=family, nin=nin),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d.reshape(f, out), gp, *extras)
+    dw2d = jax.lax.dot_general(
+        basis, g.astype(basis.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w3d.dtype)  # (F, out)
+    return dx[:n], dw2d.reshape(ng, nin, out)
+
+
 def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
     n, nin = x2d.shape
@@ -710,17 +881,39 @@ def _bspline_op(x2d, w3d, gridt, grid_size, spline_order, with_base=False):
     return _fused_fwd(x2d, w3d, (gridt,), (_full_vmem_spec(gridt),), fam)
 
 
+def _op_strategy(x2d, w3d):
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    return _bwd_strategy(
+        n, nin, ng, out, x2d.dtype.itemsize, w3d.dtype.itemsize,
+        jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
+    )
+
+
 def _bspline_op_fwd(x2d, w3d, gridt, grid_size, spline_order, with_base=False):
+    fam = bspline_family(grid_size, spline_order, with_base)
+    if _op_strategy(x2d, w3d) == "split":
+        y, basis = _fused_fwd_basis(
+            x2d, w3d, (gridt,), (_full_vmem_spec(gridt),), fam
+        )
+        return y, (x2d, w3d, gridt, basis)
     return (
         _bspline_op(x2d, w3d, gridt, grid_size, spline_order, with_base),
-        (x2d, w3d, gridt),
+        (x2d, w3d, gridt, None),
     )
 
 
 def _bspline_op_bwd(grid_size, spline_order, with_base, res, g):
-    x2d, w3d, gridt = res
+    x2d, w3d, gridt, basis = res
     fam = bspline_family(grid_size, spline_order, with_base)
-    dx, dw = _fused_bwd(x2d, w3d, g, (gridt,), (_full_vmem_spec(gridt),), fam)
+    if basis is not None:
+        dx, dw = _fused_bwd_split(
+            x2d, w3d, g, basis, (gridt,), (_full_vmem_spec(gridt),), fam
+        )
+    else:
+        dx, dw = _fused_bwd(
+            x2d, w3d, g, (gridt,), (_full_vmem_spec(gridt),), fam
+        )
     return dx, dw, jnp.zeros_like(gridt)
 
 
@@ -869,19 +1062,30 @@ def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order
         if spline_scaler is not None
         else spline_weight
     )
-    # Base branch rides the kernel as one extra basis slice (silu(x)) with
-    # base_weight as the last w3d row — no separate XLA matmul chain.
-    w3d = jnp.concatenate(
-        [scaled.transpose(2, 1, 0), base_weight.T[None]], axis=0
-    )  # (ng + 1, in, out)
+    w3d = scaled.transpose(2, 1, 0)  # (ng, in, out)
     p = _row_pack_factor(nin)
+    # The base branch (silu(x) @ base_weight.T) rides the kernel as one
+    # extra basis slice with base_weight as the last w3d row — outside the
+    # kernel it costs ~1.9 ms of the ViT-S qkv projection as a chain of
+    # tiny HBM-bound XLA matmuls. Folding is skipped only when the extra
+    # slice would push the backward into the out-blocked/XLA tiers (which
+    # pay a basis recompute per out slab — measured ViT-S embedder bwd
+    # 17.2 -> 21.6 ms when folded under "ob").
+    db = jnp.dtype(_dot_dtype(xf, spline_weight)).itemsize
+    fold = p > 1 or _bwd_strategy(
+        xf.shape[0], nin, ng + 1, out,
+        xf.dtype.itemsize, spline_weight.dtype.itemsize, db,
+    ) in ("plain", "split")
+    if fold:
+        w3d = jnp.concatenate([w3d, base_weight.T[None]], axis=0)
     if p > 1:
         xp, np_ = _packed_rows(xf, p)
         y = _bspline_op(xp, _pack_w3d(w3d, p), jnp.tile(grid.T, (1, p)),
                         ng - spline_order, spline_order, True)
-        y = y.reshape(np_, out)[: xf.shape[0]]
-    else:
-        y = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order, True)
+        return y.reshape(np_, out)[: xf.shape[0]].reshape(*lead, out)
+    y = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order, fold)
+    if not fold:
+        y = y + jax.nn.silu(xf) @ base_weight.T
     return y.reshape(*lead, out)
 
 

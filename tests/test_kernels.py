@@ -238,3 +238,41 @@ def test_fused_bspline_wide_embedder_out_blocked():
     gr = jax.grad(lambda *a: (f_ref(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(x, bw, sw, sc)
     for a, b in zip(gp, gr):
         assert np.abs(np.asarray(a - b)).max() < 1e-3
+
+
+def test_fused_bspline_wide_split_backward():
+    """Under the bf16 dot policy the wide-embedder backward routes through
+    the SPLIT strategy (forward emits the basis residual to HBM, dx is a
+    weight-resident Pallas kernel, dw is one XLA matmul) with the base
+    branch folded in — matching ground truth."""
+    from kanvit.kernels import fused_basis as FB
+
+    # n >= 1024 + bf16 weight residency is what admits the split tier.
+    assert FB._bwd_strategy(1024, 768, 9, 384, 2, 2, 2) == "split"
+
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    IN_W, OUT_W = 768, 384
+    dt = jnp.bfloat16
+    x = (jax.random.normal(k1, (1024, IN_W)) * 0.5).astype(dt)
+    grid = K.make_bspline_grid(IN_W, 5, 3)
+    bw = (jax.random.normal(k2, (OUT_W, IN_W)) * 0.02).astype(dt)
+    sw = (jax.random.normal(k3, (OUT_W, IN_W, 8)) * 0.02).astype(dt)
+    sc = (jax.random.normal(k4, (OUT_W, IN_W)) * 0.02).astype(dt)
+    f32 = lambda a: a.astype(jnp.float32)
+    f_pal = lambda x, bw, sw, sc: FB.bspline_kan(x, grid, bw, sw, sc, 3)
+    f_ref = lambda x, bw, sw, sc: K.bspline_kan_forward(
+        f32(x), grid, f32(bw), f32(sw), f32(sc), 3
+    )
+    y_pal = f32(f_pal(x, bw, sw, sc))
+    y_ref = f_ref(x, bw, sw, sc)
+    assert np.abs(np.asarray(y_pal - y_ref)).max() < 5e-2  # bf16 dot noise
+    gp = jax.grad(
+        lambda *a: (f32(f_pal(*a)) ** 2).sum(), argnums=(1, 2, 3)
+    )(x, bw, sw, sc)
+    gr = jax.grad(
+        lambda *a: (f_ref(*a) ** 2).sum(), argnums=(1, 2, 3)
+    )(x, bw, sw, sc)
+    for a, b in zip(gp, gr):
+        denom = max(1.0, float(np.abs(np.asarray(b)).max()))
+        assert np.abs(np.asarray(f32(a) - b)).max() / denom < 5e-2

@@ -70,10 +70,10 @@ def check(name, n, nin, out, dt, tol):
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     ok = True
-    ok &= check("embedder f32 (out-blocked)", 50176, 768, 384, jnp.float32, 1e-4)
-    ok &= check("embedder bf16 (out-blocked)", 50176, 768, 384, jnp.bfloat16, 3e-2)
+    ok &= check("embedder f32", 50176, 768, 384, jnp.float32, 1e-4)
+    ok &= check("embedder bf16 (split bwd)", 50176, 768, 384, jnp.bfloat16, 3e-2)
     ok &= check("head f32 (plain)", 50432, 64, 192, jnp.float32, 1e-4)
-    ok &= check("head bf16 (plain)", 50432, 64, 192, jnp.bfloat16, 3e-2)
+    ok &= check("head bf16 (plain, packed)", 50432, 64, 192, jnp.bfloat16, 3e-2)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 
