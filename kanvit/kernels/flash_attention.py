@@ -269,6 +269,182 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, m_ref, l_ref, delta_ref, mask_r
 # Padding / shape plumbing + custom VJP
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Small-sequence fully-fused path (single score tile per (batch, head))
+# ---------------------------------------------------------------------------
+#
+# At T <= SMALL_MAX_T the whole (Tp, Tp) score tile fits VMEM, so the
+# blocked online-softmax machinery is pure overhead: the forward needs no
+# (m, l) running state, and the backward produces dq, dk AND dv from ONE
+# score recompute in a single program — the general path pays two (split
+# dq / dk-dv kernels; TPU has no cross-program atomics) plus a separate
+# delta pass. One program per *batch item* loops over its heads so
+# per-program work amortizes the per-grid-step overhead. Engaged only when
+# the caller's bucket sizes would already cover the sequence in one tile
+# (so explicit small buckets still exercise the general blocked kernels).
+
+SMALL_MAX_T = 512
+
+
+def _use_small(tq, tk, d, h, q_block, k_block, itemsize):
+    tp = _round_up(tq, LANE)
+    dp = _round_up(d, LANE)
+    vmem = (
+        2 * (5 + 3) * h * tp * dp * itemsize   # double-buffered io blocks
+        + 4 * tp * tp * 4                      # s/p/dp/ds f32 transients
+    )
+    return (
+        tq == tk
+        and tp <= SMALL_MAX_T
+        and tp <= q_block
+        and tp <= k_block
+        and vmem <= 10 * 1024 * 1024
+    )
+
+
+def _small_scores(q, k, mask_row, scale, tk, causal, tp):
+    """Masked probabilities for one (Tp, Tp) tile: returns
+    (p unnormalized f32, l clamped row sums, key_valid, kpos)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+    key_valid = (kpos < tk) & (mask_row > 0.5)
+    s = jnp.where(key_valid, s, NEG_INF)
+    if causal:
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        s = jnp.where(qpos >= kpos, s, NEG_INF)  # tq == tk: len diff is 0
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(key_valid, jnp.exp(s - m), 0.0)
+    l = jnp.clip(jnp.sum(p, axis=-1, keepdims=True), EPSILON, None)
+    return p, l, key_valid, kpos
+
+
+def _small_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                      *, scale, tk, causal, h, tp):
+    mask_row = mask_ref[0]
+    for hi in range(h):
+        p, l, _, _ = _small_scores(
+            q_ref[hi], k_ref[hi], mask_row, scale, tk, causal, tp
+        )
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[hi] = (pv / l).astype(o_ref.dtype)
+
+
+def _small_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, tk, causal, h, tp):
+    mask_row = mask_ref[0]
+    for hi in range(h):
+        q, k, v = q_ref[hi], k_ref[hi], v_ref[hi]
+        do, o = do_ref[hi], o_ref[hi]
+        p, l, _, kpos = _small_scores(q, k, mask_row, scale, tk, causal, tp)
+        pn = p / l  # normalized probabilities, f32
+        dv_ref[hi] = jax.lax.dot_general(
+            pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = pn * scale * (dp - delta)
+        if causal:
+            qpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+            ds = jnp.where(qpos >= kpos, ds, 0.0)
+        dsc = ds.astype(k.dtype)
+        dq_ref[hi] = jax.lax.dot_general(
+            dsc, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dq_ref.dtype)
+        dk_ref[hi] = jax.lax.dot_general(
+            dsc, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _small_dp(d):
+    # Keep the head dim unpadded when sublane-aligned: the block minor dim
+    # may equal the array dim, and at d=64 padding to 128 lanes would
+    # double every tensor's HBM traffic — the dominant cost at short T.
+    return d if d % 8 == 0 else _round_up(d, LANE)
+
+
+def _small_fwd_impl(q, k, v, mask, causal):
+    b, h, tq, d = q.shape
+    tp, dp = _round_up(tq, LANE), _small_dp(d)
+    qf = _pad3(q.reshape(b * h, tq, d), tp, dp)
+    kf = _pad3(k.reshape(b * h, tq, d), tp, dp)
+    vf = _pad3(v.reshape(b * h, tq, d), tp, dp)
+    maskf = _mask3(mask, b, tq, tp)
+    blk = lambda: pl.BlockSpec(
+        (h, tp, dp), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    o = pl.pallas_call(
+        functools.partial(
+            _small_fwd_kernel, scale=d**-0.5, tk=tq, causal=causal, h=h, tp=tp
+        ),
+        grid=(b,),
+        in_specs=[
+            blk(), blk(), blk(),
+            pl.BlockSpec((1, 1, tp), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(qf, kf, vf, maskf)
+    return o[:, :tq, :d].reshape(b, h, tq, d)
+
+
+def _small_bwd_impl(q, k, v, mask, o, do, causal):
+    b, h, tq, d = q.shape
+    tp, dp = _round_up(tq, LANE), _small_dp(d)
+    qf = _pad3(q.reshape(b * h, tq, d), tp, dp)
+    kf = _pad3(k.reshape(b * h, tq, d), tp, dp)
+    vf = _pad3(v.reshape(b * h, tq, d), tp, dp)
+    dof = _pad3(do.reshape(b * h, tq, d), tp, dp)
+    of = _pad3(o.reshape(b * h, tq, d), tp, dp)
+    maskf = _mask3(mask, b, tq, tp)
+    blk = lambda: pl.BlockSpec(
+        (h, tp, dp), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _small_bwd_kernel, scale=d**-0.5, tk=tq, causal=causal, h=h, tp=tp
+        ),
+        grid=(b,),
+        in_specs=[
+            blk(), blk(), blk(), blk(), blk(),
+            pl.BlockSpec((1, 1, tp), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+            jax.ShapeDtypeStruct((b * h, tp, dp), k.dtype),
+            jax.ShapeDtypeStruct((b * h, tp, dp), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(qf, kf, vf, dof, of, maskf)
+    dq = dq[:, :tq, :d].reshape(b, h, tq, d)
+    dk = dk[:, :tq, :d].reshape(b, h, tq, d)
+    dv = dv[:, :tq, :d].reshape(b, h, tq, d)
+    dmask = None if mask is None else jnp.zeros_like(mask, dtype=jnp.float32)
+    return dq, dk, dv, dmask
+
+
 def _plan(tq, tk, d, q_block, k_block):
     bq = min(_round_up(q_block, LANE), _round_up(tq, LANE))
     bk = min(_round_up(k_block, LANE), _round_up(tk, LANE))
@@ -287,6 +463,9 @@ def _pad3(x, t_to, d_to):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash(q, k, v, mask, causal, q_block, k_block):
+    b, h, tq, d = q.shape
+    if _use_small(tq, k.shape[2], d, h, q_block, k_block, q.dtype.itemsize):
+        return _small_fwd_impl(q, k, v, mask, causal)
     o, _, _, _ = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block)
     return o
 
@@ -320,12 +499,18 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block):
 
 
 def _flash_fwd(q, k, v, mask, causal, q_block, k_block):
+    b, h, tq, d = q.shape
+    if _use_small(tq, k.shape[2], d, h, q_block, k_block, q.dtype.itemsize):
+        o = _small_fwd_impl(q, k, v, mask, causal)
+        return o, (q, k, v, mask, o, None, None)
     o, _, m, l = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block)
     return o, (q, k, v, mask, o, m, l)
 
 
 def _flash_bwd(causal, q_block, k_block, res, do):
     q, k, v, mask, o, m, l = res
+    if m is None:  # small single-tile path: joint dq/dk/dv kernel
+        return _small_bwd_impl(q, k, v, mask, o, do, causal)
     b, h, tq, d = q.shape
     tk = k.shape[2]
     bq, bk, tqp, tkp, dp = _plan(tq, tk, d, q_block, k_block)

@@ -57,6 +57,38 @@ def test_flash_attention_kernel_causal():
     assert np.abs(np.asarray(o - ref)).max() < 1e-5
 
 
+def test_flash_attention_small_single_tile_path():
+    """With bucket sizes covering the whole (short) sequence, the fully
+    fused single-tile kernels engage (joint dq/dk/dv backward, one program
+    per batch item looping heads) — values and grads must match the
+    reference, causal included."""
+    from kanvit.kernels import flash_attention as FA
+
+    assert FA._use_small(20, 20, 8, 2, 512, 1024, 4)
+    assert not FA._use_small(20, 20, 8, 2, 16, 16, 4)  # explicit buckets
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 2, 20, 8))
+    k = jax.random.normal(kk, (2, 2, 20, 8))
+    v = jax.random.normal(kv, (2, 2, 20, 8))
+    for causal in (False, True):
+        o = FA.flash_attention(q, k, v, causal, 512, 1024)
+        ref, _ = flash_attention_reference(q, k, v, causal, 512, 1024)
+        assert np.abs(np.asarray(o - ref)).max() < 1e-5
+
+        f_pal = lambda q, k, v: (
+            FA.flash_attention(q, k, v, causal, 512, 1024) ** 2
+        ).sum()
+        f_ref = lambda q, k, v: (
+            flash_attention_reference(q, k, v, causal, 512, 1024)[0] ** 2
+        ).sum()
+        gp = jax.grad(f_pal, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gp, gr):
+            assert np.abs(np.asarray(a - b)).max() < 1e-4
+
+
 N, IN, OUT = 24, 8, 16
 
 
