@@ -103,14 +103,21 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
         return True
     if not dispatch.use_pallas():
         return False
-    # B-spline is the one mul/add-only (HBM-bound) family: the kernel wins
-    # ~1.6-1.7x at N >= 200k, ties around 25-50k, and — by never
-    # materializing the basis levels — runs configs whose jnp path OOMs HBM
-    # (ViT-S efficientkan at N=25216 per head). Narrow inputs (the in=16
-    # MNIST embedder) measured slightly faster on jnp — require nin >= 24.
-    # The trig/RBF families are transcendental-bound and the jnp path stays
-    # ahead at every measured size.
-    return family == "bspline" and n >= 16384 and nin >= 24
+    # B-spline is mul/add-only (HBM-bound): the kernel wins ~1.6-1.7x at
+    # N >= 200k, ties around 25-50k, and — by never materializing the basis
+    # levels — runs configs whose jnp path OOMs HBM (ViT-S efficientkan at
+    # N=25216 per head). Narrow inputs (the in=16 MNIST embedder) measured
+    # slightly faster on jnp — require nin >= 24.
+    if family == "bspline":
+        return n >= 16384 and nin >= 24
+    # Round-1 measured the trig/RBF kernels as ties-or-losses; the round-2
+    # machinery (row packing, bf16 MXU dots, reciprocal/shared setup)
+    # flipped them at scale: ViT-S end-to-end cheby 894 -> 1,563 and fast
+    # 675 -> 986 img/s under forced Pallas, with the shape-level sweep
+    # (tools/tpu_ab_families.py) crossing over by N = 32768. Below that the
+    # XLA path's fused transcendentals win or tie (and the tiny reference
+    # configs are dispatch-bound either way).
+    return n >= 32768
 
 
 def _round_up(x: int, m: int) -> int:
