@@ -108,6 +108,13 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
     # levels — runs configs whose jnp path OOMs HBM (ViT-S efficientkan at
     # N=25216 per head). Narrow inputs (the in=16 MNIST embedder) measured
     # slightly faster on jnp — require nin >= 24.
+    # Memory guard independent of the throughput thresholds: once the jnp
+    # path's materialized (N, F) basis would exceed ~32M elements (64MB
+    # bf16 / 128MB f32), the fused kernel wins on HBM traffic alone — e.g.
+    # ViT-S *inference* at batch 64 (N=12,544 embedder rows, under the
+    # training threshold) measured 1,027 -> ~4k img/s with the kernel.
+    if n * f >= 32 * 1024 * 1024:
+        return True
     if family == "bspline":
         return n >= 16384 and nin >= 24
     # Round-1 measured the trig/RBF kernels as ties-or-losses; the round-2
