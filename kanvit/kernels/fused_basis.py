@@ -72,7 +72,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
-                    scr_bytes: int = 4, stream_bytes: int = 0) -> int:
+                    scr_bytes: int = 4, stream_bytes: int = 0,
+                    per_g: bool = True) -> int:
     """Largest row block (multiple of 8, <=512) whose unrolled live set
     (~n_temps arrays of (bn, in) f32 per g step, plus the basis scratch row
     and the resident weight/dw blocks) fits the budget. The cap matters: at
@@ -91,7 +92,7 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
     ``stream_bytes``: per-row bytes of the double-buffered streamed blocks
     (x in, y/g/dx out) — these ride VMEM alongside the live set."""
     fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0))
-    per_row = (n_temps * ng * _round_up(nin, 128) * 4
+    per_row = (n_temps * (ng if per_g else 1) * _round_up(nin, 128) * 4
                + ng * nin * scr_bytes    # basis scratch
                + stream_bytes)           # double-buffered io blocks
     bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
@@ -108,14 +109,18 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
     # levels — runs configs whose jnp path OOMs HBM (ViT-S efficientkan at
     # N=25216 per head). Narrow inputs (the in=16 MNIST embedder) measured
     # slightly faster on jnp — require nin >= 24.
-    # Memory guard independent of the throughput thresholds: once the jnp
-    # path's materialized (N, F) basis would exceed ~32M elements (64MB
-    # bf16 / 128MB f32), the fused kernel wins on HBM traffic alone — e.g.
-    # ViT-S *inference* at batch 64 (N=12,544 embedder rows, under the
-    # training threshold) measured 1,027 -> ~4k img/s with the kernel.
-    if n * f >= 32 * 1024 * 1024:
-        return True
     if family == "bspline":
+        # Memory guard independent of the throughput threshold: once the
+        # jnp path's materialized (N, F) basis exceeds ~32M elements (64MB
+        # bf16 / 128MB f32), the mul/add-only kernel wins on HBM traffic
+        # alone — e.g. ViT-S *inference* at batch 64 (N=12,544 embedder
+        # rows, under the training threshold). The trig families are NOT
+        # guarded this way: at sine's grid-28 mapper the out-blocked
+        # kernel's repeated transcendental recompute loses to XLA's fused
+        # path (measured 370 -> 345 img/s), so they keep the pure
+        # throughput threshold.
+        if n * f >= 32 * 1024 * 1024:
+            return True
         return n >= 16384 and nin >= 24
     # Round-1 measured the trig/RBF kernels as ties-or-losses; the round-2
     # machinery (row packing, bf16 MXU dots, reciprocal/shared setup)
@@ -123,8 +128,12 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
     # 675 -> 986 img/s under forced Pallas, with the shape-level sweep
     # (tools/tpu_ab_families.py) crossing over by N = 32768. Below that the
     # XLA path's fused transcendentals win or tie (and the tiny reference
-    # configs are dispatch-bound either way).
-    return n >= 32768
+    # configs are dispatch-bound either way). Wide-grid layers (> 8 basis
+    # functions per input feature — the sine/fourier grid-28 mappers) stay
+    # on XLA: their weights exceed the weight-resident kernel tiers and the
+    # out-blocked tier's per-slab transcendental recompute loses (sine
+    # mapper measured 370 -> 345 img/s fused).
+    return n >= 32768 and nin > 0 and f <= 8 * nin
 
 
 def _round_up(x: int, m: int) -> int:
@@ -138,12 +147,20 @@ def _round_up(x: int, m: int) -> int:
 @dataclass(frozen=True)
 class Family:
     """setup(x, *extras) -> ctx; basis(ctx, gi) -> (bn, in);
-    basis_grad(ctx, gi) -> ((bn, in), (bn, in))."""
+    basis_grad(ctx, gi) -> ((bn, in), (bn, in)).
+
+    ``lazy``: slices are computed independently per gi (sine/fourier/RBF),
+    so the kernel's live set is a few transient arrays regardless of ng —
+    the VMEM row-block model must not charge ng-proportional temps (that
+    would lock e.g. the sine grid-28 mapper out of every kernel tier).
+    Recurrence families (B-spline levels, Chebyshev terms) keep the
+    ng-proportional charge."""
 
     ng: int
     setup: Callable
     basis: Callable
     basis_grad: Callable
+    lazy: bool = False
 
 
 def fourier_family(grid_size: int) -> Family:
@@ -164,7 +181,7 @@ def fourier_family(grid_size: int) -> Family:
         k = gi - grid_size + 1
         return jnp.sin(k * x), k * jnp.cos(k * x)
 
-    return Family(2 * grid_size, setup, basis, basis_grad)
+    return Family(2 * grid_size, setup, basis, basis_grad, lazy=True)
 
 
 def cheby_family(degree: int) -> Family:
@@ -178,17 +195,28 @@ def cheby_family(degree: int) -> Family:
     def setup(x):
         t = jnp.tanh(x)
         ts = [jnp.ones_like(t), t]
-        dts = [jnp.zeros_like(t), jnp.ones_like(t)]
         for n in range(2, degree + 1):
             ts.append(2.0 * t * ts[n - 1] - ts[n - 2])
-            dts.append(2.0 * ts[n - 1] + 2.0 * t * dts[n - 1] - dts[n - 2])
-        return {"ts": ts, "dts": dts, "dtdx": 1.0 - t * t}
+        return {"t": t, "ts": ts, "cache": {}}
 
     def basis(ctx, gi):
         return ctx["ts"][gi]
 
+    def _dts(ctx):
+        # Derivative recurrence is built lazily so the forward kernel's
+        # live set stays at (deg + 2) arrays instead of double that.
+        if "dts" not in ctx["cache"]:
+            t, ts = ctx["t"], ctx["ts"]
+            dts = [jnp.zeros_like(t), jnp.ones_like(t)]
+            for n in range(2, degree + 1):
+                dts.append(2.0 * ts[n - 1] + 2.0 * t * dts[n - 1] - dts[n - 2])
+            ctx["cache"]["dts"] = dts
+            ctx["cache"]["dtdx"] = 1.0 - t * t
+        return ctx["cache"]["dts"], ctx["cache"]["dtdx"]
+
     def basis_grad(ctx, gi):
-        return ctx["ts"][gi], ctx["dts"][gi] * ctx["dtdx"]
+        dts, dtdx = _dts(ctx)
+        return ctx["ts"][gi], dts[gi] * dtdx
 
     return Family(degree + 1, setup, basis, basis_grad)
 
@@ -208,7 +236,7 @@ def sine_family(grid_size: int) -> Family:
         a = _arg(ctx, gi)
         return jnp.sin(a), ctx["freq"][0, gi] * jnp.cos(a)
 
-    return Family(grid_size, setup, basis, basis_grad)
+    return Family(grid_size, setup, basis, basis_grad, lazy=True)
 
 
 def rbf_family(num_grids: int, denominator: float) -> Family:
@@ -227,7 +255,7 @@ def rbf_family(num_grids: int, denominator: float) -> Family:
         b = jnp.exp(-u * u)
         return b, (-2.0 / denominator) * u * b
 
-    return Family(num_grids, setup, basis, basis_grad)
+    return Family(num_grids, setup, basis, basis_grad, lazy=True)
 
 
 def bspline_family(grid_size: int, spline_order: int,
@@ -457,7 +485,8 @@ _VMEM_LIMIT_OB = 13 * 1024 * 1024
 
 
 def _pick_out_block(nin: int, out: int, ng: int, n_temps: int,
-                    w_bytes: int = 4, with_dw: bool = False):
+                    w_bytes: int = 4, with_dw: bool = False,
+                    per_g: bool = True):
     """(out_blk, bn) for the out-blocked kernels, or None if even the
     smallest slab leaves no room for a >=32-row block.
 
@@ -471,7 +500,8 @@ def _pick_out_block(nin: int, out: int, ng: int, n_temps: int,
         fixed = 2 * f * ob * w_bytes  # double-buffered weight slab
         if with_dw:
             fixed += 2 * f * ob * 4  # f32 dw block + its copy-out buffer
-        per_row = n_temps * ng * _round_up(nin, 128) * 4
+        per_row = (n_temps * (ng if per_g else 1) * _round_up(nin, 128) * 4
+                   + f * w_bytes)  # (bn, F) basis scratch, dot dtype
         bn = int(((_VMEM_LIMIT_OB - fixed) // max(per_row, 1) // 8) * 8)
         # Floor of 16 (vs the plain kernel's 32): sublane-padded but HBM-
         # bound at these widths, and far ahead of the XLA fallback.
@@ -771,13 +801,15 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     stream = 2 * (_round_up(nin, 128) * xb + _round_up(out, 128) * xb)
     bn = min(
         _pick_row_block(nin, out, ng, n_temps=2, w_bytes=w3d.dtype.itemsize,
-                        with_dw=False, scr_bytes=db, stream_bytes=stream),
+                        with_dw=False, scr_bytes=db, stream_bytes=stream,
+                        per_g=not family.lazy),
         _round_up(n, 8),
     )
     if bn < 32:
         obn = _pick_out_block(
             nin, out, ng, n_temps=4,
             w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
+            per_g=not family.lazy,
         )
         if obn is not None:
             return _fused_fwd_ob(x2d, w3d, extras, extra_specs, family, *obn)
@@ -838,13 +870,15 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     )
     bn = min(
         _pick_row_block(nin, out, ng, n_temps=3, w_bytes=w3d.dtype.itemsize,
-                        with_dw=True, scr_bytes=db, stream_bytes=stream),
+                        with_dw=True, scr_bytes=db, stream_bytes=stream,
+                        per_g=not family.lazy),
         _round_up(n, 8),
     )
     if bn < 32:
         obn = _pick_out_block(
             nin, out, ng, n_temps=4, with_dw=True,
             w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
+            per_g=not family.lazy,
         )
         if obn is not None:
             return _fused_bwd_ob(x2d, w3d, g, extras, extra_specs, family, *obn)
@@ -1110,7 +1144,7 @@ def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
     out = spline_weight.shape[0]
     ng = rbf_grid.shape[-1]
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], spline_weight.shape[1]):
+    if not _should_fuse(xf.shape[0], spline_weight.shape[1], nin=nin):
         return K.fastkan_forward(
             x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
             base_weight, base_bias,
@@ -1138,7 +1172,7 @@ def sinekan(x, freq, phase, amplitudes, bias):
     out = amplitudes.shape[0]
     ng = freq.shape[-1]
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], nin * ng):
+    if not _should_fuse(xf.shape[0], nin * ng, nin=nin):
         return K.sinekan_forward(x, freq, phase, amplitudes, bias)
     w3d = amplitudes.transpose(2, 1, 0)  # (ng, in, out)
     p = _row_pack_factor(nin)
@@ -1159,7 +1193,7 @@ def fourierkan(x, coeffs, bias):
     nin = x.shape[-1]
     _, out, _, grid_size = coeffs.shape
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], nin * 2 * grid_size):
+    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin):
         return K.fourierkan_forward(x, coeffs, bias)
     # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
     w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)
@@ -1179,7 +1213,7 @@ def chebykan(x, coeffs):
     lead = x.shape[:-1]
     nin, out, deg1 = coeffs.shape
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], nin * deg1):
+    if not _should_fuse(xf.shape[0], nin * deg1, nin=nin):
         return K.chebykan_forward(x, coeffs)
     w3d = coeffs.transpose(2, 0, 1)  # (deg+1, in, out)
     p = _row_pack_factor(nin)
