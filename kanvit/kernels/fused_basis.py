@@ -968,6 +968,178 @@ def _bspline_op_bwd(grid_size, spline_order, with_base, res, g):
 _bspline_op.defvjp(_bspline_op_fwd, _bspline_op_bwd)
 
 
+# --- RBF with fused silu base branch (FastKAN) ------------------------------
+#
+# FastKAN's base branch consumes RAW x while the RBF spline consumes LN(x)
+# (reference fastkan.py:66-76), so folding it into the kernel needs a second
+# streamed input — the generic single-x template cannot express it. The
+# dedicated op below streams (ln, x_raw) row blocks together; the silu
+# slice rides the same contraction dot as the RBF slices (base_weight
+# stacked as the last w3d row). Measured: the XLA-side base chains cost
+# 3.1 ms/block at the ViT-S fast MSA (18 projections), ~12% of the step.
+
+def _rbf_base_fwd_kernel(ln_ref, xr_ref, w_ref, grid_ref, y_ref, basis_scr,
+                         *, ng, denominator, nin):
+    ln = ln_ref[:].astype(jnp.float32)
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.exp(-u * u).astype(
+            basis_scr.dtype
+        )
+    xr = xr_ref[:].astype(jnp.float32)
+    basis_scr[:, ng * nin :] = (xr * jax.nn.sigmoid(xr)).astype(basis_scr.dtype)
+    y_ref[:] = jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def _rbf_base_bwd_kernel(ln_ref, xr_ref, w_ref, g_ref, grid_ref,
+                         dln_ref, dxr_ref, dw_ref, basis_scr, dw_acc,
+                         *, ng, denominator, nin):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+
+    ln = ln_ref[:].astype(jnp.float32)
+    xr = xr_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F) f32
+    dln = jnp.zeros(ln.shape, jnp.float32)
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        b = jnp.exp(-u * u)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
+        dln += gw[:, gi * nin : (gi + 1) * nin] * ((-2.0 / denominator) * u * b)
+    sig = jax.nn.sigmoid(xr)
+    s = xr * sig
+    basis_scr[:, ng * nin :] = s.astype(basis_scr.dtype)
+    dxr = gw[:, ng * nin :] * (sig + s * (1.0 - sig))
+    dln_ref[:] = dln.astype(dln_ref.dtype)
+    dxr_ref[:] = dxr.astype(dxr_ref.dtype)
+    dw_acc[:] += jax.lax.dot_general(
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+
+
+def _rbf_base_bn(n, nin, ng1, out, x2d, w3d, with_dw):
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    xb = x2d.dtype.itemsize
+    # Two streamed row inputs (ln + raw x), plus g/dln/dxr on the bwd side.
+    stream = 2 * (
+        (4 if with_dw else 2) * _round_up(nin, 128) * xb
+        + _round_up(out, 128) * xb
+    )
+    return _pick_row_block(
+        nin, out, ng1, n_temps=3, w_bytes=w3d.dtype.itemsize,
+        with_dw=with_dw, scr_bytes=db, stream_bytes=stream, per_g=False,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rbf_base_op(ln2d, xr2d, w3d, grid2d, num_grids, denominator):
+    n, nin = ln2d.shape
+    ng1, _, out = w3d.shape  # num_grids + 1 (silu slice last)
+    f = ng1 * nin
+    bn = min(_rbf_base_bn(n, nin, ng1, out, ln2d, w3d, False),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    lnp = jnp.pad(ln2d, ((0, np_ - n), (0, 0)))
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(
+            _rbf_base_fwd_kernel, ng=num_grids, denominator=denominator,
+            nin=nin,
+        ),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, out), ln2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, f), _dot_dtype(ln2d, w3d))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(lnp, xrp, w3d.reshape(f, out), grid2d)
+    return y[:n]
+
+
+def _rbf_base_op_fwd(ln2d, xr2d, w3d, grid2d, num_grids, denominator):
+    return (
+        _rbf_base_op(ln2d, xr2d, w3d, grid2d, num_grids, denominator),
+        (ln2d, xr2d, w3d, grid2d),
+    )
+
+
+def _rbf_base_op_bwd(num_grids, denominator, res, g):
+    ln2d, xr2d, w3d, grid2d = res
+    n, nin = ln2d.shape
+    ng1, _, out = w3d.shape
+    f = ng1 * nin
+    bn = min(_rbf_base_bn(n, nin, ng1, out, ln2d, w3d, True),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    lnp = jnp.pad(ln2d, ((0, np_ - n), (0, 0)))
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero dw contrib
+    dln, dxr, dw2d = pl.pallas_call(
+        functools.partial(
+            _rbf_base_bwd_kernel, ng=num_grids, denominator=denominator,
+            nin=nin,
+        ),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, nin), ln2d.dtype),
+            jax.ShapeDtypeStruct((np_, nin), xr2d.dtype),
+            jax.ShapeDtypeStruct((f, out), w3d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, f), _dot_dtype(ln2d, w3d)),
+            pltpu.VMEM((f, out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(lnp, xrp, w3d.reshape(f, out), gp, grid2d)
+    return (
+        dln[:n], dxr[:n], dw2d.reshape(ng1, nin, out),
+        jnp.zeros_like(grid2d),
+    )
+
+
+_rbf_base_op.defvjp(_rbf_base_op_fwd, _rbf_base_op_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _rbf_op(x2d, w3d, grid2d, num_grids, denominator):
     fam = rbf_family(num_grids, denominator)
@@ -1153,14 +1325,32 @@ def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
     ln = xf if ln_gamma is None else K.layernorm(xf, ln_gamma, ln_beta)
     w3d = spline_weight.reshape(out, nin, ng).transpose(2, 1, 0)
     p = _row_pack_factor(nin)
+    grid2d = rbf_grid.reshape(1, -1)
+    if base_weight is not None:
+        # Fold the silu base branch into the kernel via the dual-input op
+        # (it consumes RAW x while the RBF consumes LN(x)) whenever the
+        # plain tier fits — the XLA-side base chains cost ~3.1 ms/block at
+        # the ViT-S fast MSA.
+        w3b = jnp.concatenate([w3d, base_weight.T[None]], axis=0)
+        if _rbf_base_bn(0, p * nin, ng + 1, p * out, ln, w3b, True) >= 32:
+            if p > 1:
+                lnp, np_ = _packed_rows(ln, p)
+                xrp, _ = _packed_rows(xf, p)
+                y = _rbf_base_op(lnp, xrp, _pack_w3d(w3b, p), grid2d, ng,
+                                 float(rbf_denominator))
+                y = y.reshape(np_, out)[: xf.shape[0]]
+            else:
+                y = _rbf_base_op(ln, xf, w3b, grid2d, ng,
+                                 float(rbf_denominator))
+            return (y + base_bias).reshape(*lead, out)
     if p > 1:
         lnp, np_ = _packed_rows(ln, p)
         # The RBF grid is global (not per input feature): no tiling needed.
-        y = _rbf_op(lnp, _pack_w3d(w3d, p), rbf_grid.reshape(1, -1), ng,
+        y = _rbf_op(lnp, _pack_w3d(w3d, p), grid2d, ng,
                     float(rbf_denominator))
         y = y.reshape(np_, out)[: xf.shape[0]]
     else:
-        y = _rbf_op(ln, w3d, rbf_grid.reshape(1, -1), ng, float(rbf_denominator))
+        y = _rbf_op(ln, w3d, grid2d, ng, float(rbf_denominator))
     if base_weight is not None:
         y = y + jax.nn.silu(xf) @ base_weight.T + base_bias
     return y.reshape(*lead, out)
