@@ -93,8 +93,14 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
     (x in, y/g/dx out) — these ride VMEM alongside the live set."""
     fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0))
     per_row = (n_temps * (ng if per_g else 1) * _round_up(nin, 128) * 4
-               + ng * nin * scr_bytes    # basis scratch
+               # Basis scratch charged twice: the (bn, F) array itself plus
+               # equal headroom for Mosaic's scheduling of the unrolled
+               # slice writes (measured: it allocates beyond the obvious
+               # live set at large ng).
+               + 2 * ng * nin * scr_bytes
                + stream_bytes)           # double-buffered io blocks
+    if with_dw:
+        per_row += ng * nin * 4  # the backward's (bn, F) f32 gw temp
     bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
     return int(max(8, min(1024, (bn // 8) * 8)))
 
@@ -500,8 +506,12 @@ def _pick_out_block(nin: int, out: int, ng: int, n_temps: int,
         fixed = 2 * f * ob * w_bytes  # double-buffered weight slab
         if with_dw:
             fixed += 2 * f * ob * 4  # f32 dw block + its copy-out buffer
+        # Basis scratch charged twice (array + Mosaic scheduling headroom
+        # for the unrolled slice writes — measured at large ng).
         per_row = (n_temps * (ng if per_g else 1) * _round_up(nin, 128) * 4
-                   + f * w_bytes)  # (bn, F) basis scratch, dot dtype
+                   + 2 * f * w_bytes)
+        if with_dw:
+            per_row += f * 4  # the backward's (bn, F) f32 gw temp
         bn = int(((_VMEM_LIMIT_OB - fixed) // max(per_row, 1) // 8) * 8)
         # Floor of 16 (vs the plain kernel's 32): sublane-padded but HBM-
         # bound at these widths, and far ahead of the XLA fallback.

@@ -88,6 +88,21 @@ def test_flash_attention_small_single_tile_path():
         for a, b in zip(gp, gr):
             assert np.abs(np.asarray(a - b)).max() < 1e-4
 
+    # Key-padding mask through the small path (reference's (B, Tk) mask,
+    # utils.py:154-164), values + grads.
+    mask = jnp.array([[True] * 15 + [False] * 5, [True] * 20])
+    o = FA.flash_attention(q, k, v, False, 512, 1024, mask=mask)
+    ref, _ = flash_attention_reference(q, k, v, False, 512, 1024, mask=mask)
+    assert np.abs(np.asarray(o - ref)).max() < 1e-5
+    g_pal = jax.grad(lambda q, k, v: (
+        FA.flash_attention(q, k, v, False, 512, 1024, mask=mask) ** 2
+    ).sum(), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(lambda q, k, v: (
+        flash_attention_reference(q, k, v, False, 512, 1024, mask=mask)[0] ** 2
+    ).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        assert np.abs(np.asarray(a - b)).max() < 1e-4
+
 
 N, IN, OUT = 24, 8, 16
 
