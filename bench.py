@@ -112,56 +112,101 @@ def _analytic_flops(model_type: str, geom: dict, batch: int) -> float:
     return 3.0 * fwd  # + backward at 2x forward
 
 
+# The scanned measurement path stacks one batch per step; cap the stack's
+# HBM footprint (large presets have 100ms+ steps where per-call dispatch is
+# noise anyway, and their stacks would not fit).
+_SCAN_STACK_BUDGET = 2 << 30
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="efficientkan")
     p.add_argument("--preset", default="reference", choices=sorted(PRESETS))
     p.add_argument("--batch-size", type=int, default=128)
-    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--steps", type=int, default=50,
+                   help="steps per timed window")
+    p.add_argument("--windows", type=int, default=5,
+                   help="repeated timed windows; the MEDIAN is reported")
     p.add_argument("--warmup", type=int, default=8)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", action="store_true",
                    help="gradient rematerialization (memory for FLOPs)")
+    p.add_argument("--no-scan", action="store_true",
+                   help="force the per-step dispatch path")
     args = p.parse_args()
 
     from kanvit.models import create_model
     from kanvit.train.state import create_train_state
-    from kanvit.train.steps import make_train_step
+    from kanvit.train.steps import make_train_scan, make_train_step
 
     geom = PRESETS[args.preset]
     model = create_model(args.model_type, remat=args.remat, **geom)
     chw = geom["chw"]
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, rng, jnp.zeros((1, *chw)))
-    step = make_train_step(bf16=args.bf16)
 
-    x = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, *chw))
-    y = jax.random.randint(
-        jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
+    # Per-step dispatch costs milliseconds (and varies day to day) on a
+    # tunneled device transport — at the tiny reference config it swamps the
+    # ~1.5 ms of device work per step. The scanned path runs the whole
+    # window as ONE device program (lax.scan over stacked batches), so the
+    # measurement is device throughput, not host/tunnel latency.
+    stack_bytes = args.steps * args.batch_size * (
+        4 * int(jnp.prod(jnp.array(chw))) + 4
     )
+    use_scan = not args.no_scan and stack_bytes <= _SCAN_STACK_BUDGET
+    if use_scan:
+        xs = jax.random.normal(
+            jax.random.PRNGKey(1), (args.steps, args.batch_size, *chw)
+        )
+        ys = jax.random.randint(
+            jax.random.PRNGKey(2), (args.steps, args.batch_size), 0,
+            geom["out_d"],
+        )
+        step = make_train_scan(bf16=args.bf16)
+        step = step.lower(state, xs, ys).compile()
+        run_window = lambda st: step(st, xs, ys)  # noqa: E731
+    else:
+        x = jax.random.normal(jax.random.PRNGKey(1), (args.batch_size, *chw))
+        y = jax.random.randint(
+            jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
+        )
+        step = make_train_step(bf16=args.bf16)
+        step = step.lower(state, x, y).compile()
 
-    # AOT-compile so we can also read XLA's own FLOP count for the whole
-    # fused step (fwd + CE + bwd + Adam) — reported alongside the analytic
-    # model-FLOPs figure that MFU is based on.
-    step = step.lower(state, x, y).compile()
+        def run_window(st):
+            for _ in range(args.steps):
+                st, loss, logits = step(st, x, y)
+            return st, loss, logits
+
+    # XLA's own FLOP count for the whole fused program (fwd + CE + bwd +
+    # Adam) — reported alongside the analytic model-FLOPs figure that MFU is
+    # based on.
     flops = None
     try:
         ca = step.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        # XLA counts a while/scan body ONCE (no trip-count multiply), so the
+        # scanned program's figure is already per-step.
         flops = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
 
-    for _ in range(args.warmup):
-        state, loss, _ = step(state, x, y)
-    float(loss)  # hard D2H sync — block_until_ready can return early on
-    # tunneled transports, silently under-measuring step time
+    def hard_sync(loss):
+        # One scalar D2H — block_until_ready can return early on tunneled
+        # transports, silently under-measuring step time.
+        float(loss[-1] if getattr(loss, "ndim", 0) else loss)
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, loss, _ = step(state, x, y)
-    float(loss)
-    dt = time.perf_counter() - t0
+    state, loss, _ = run_window(state)  # warmup: compile-adjacent first run
+    hard_sync(loss)
+
+    window_s = []
+    for _ in range(max(1, args.windows)):
+        t0 = time.perf_counter()
+        state, loss, _ = run_window(state)
+        hard_sync(loss)
+        window_s.append(time.perf_counter() - t0)
+    window_s.sort()
+    dt = window_s[len(window_s) // 2]  # median window
 
     n_chips = jax.device_count()
     ips = args.batch_size * args.steps / dt / n_chips
@@ -194,6 +239,12 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": vs,
         "step_time_ms": round(step_ms, 2),
+        "step_time_ms_minmax": [
+            round(window_s[0] / args.steps * 1000, 2),
+            round(window_s[-1] / args.steps * 1000, 2),
+        ],
+        "windows": len(window_s),
+        "steps_per_call": args.steps if use_scan else 1,
         "batch_size": args.batch_size,
         "device": str(jax.devices()[0]),
         "bf16": args.bf16,

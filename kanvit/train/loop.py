@@ -167,9 +167,19 @@ def run(cfg: TrainConfig) -> dict:
     multiproc = jax.process_count() > 1
     is_proc0 = jax.process_index() == 0
     replicate = None
+    gather_state = None
     if multiproc:
         rep = NamedSharding(mesh, PartitionSpec())
         replicate = jax.jit(lambda a, b: (a, b), out_shardings=(rep, rep))
+        if cfg.ckpt_dir:
+            # Model-sharded params span hosts, so their shards are not all
+            # addressable from proc 0 and a bare device_get would throw.
+            # A jit identity with replicated out_shardings is an all-gather
+            # every process participates in; proc 0 then reads its local
+            # replica.
+            gather_state = jax.jit(
+                lambda s: s, out_shardings=jax.tree.map(lambda _: rep, state)
+            )
 
     if cfg.resume and cfg.ckpt_dir:
         path = latest_checkpoint(cfg.ckpt_dir)
@@ -295,8 +305,12 @@ def run(cfg: TrainConfig) -> dict:
             save_metrics(
                 metrics_file, epoch + 1, "Train", loss, acc, bal, f1, auc, flag=0
             )
-        if cfg.ckpt_dir and is_proc0:
-            save_checkpoint(cfg.ckpt_dir, jax.device_get(state), int(state.step))
+        if cfg.ckpt_dir:
+            to_save = state if gather_state is None else gather_state(state)
+            if is_proc0:
+                save_checkpoint(
+                    cfg.ckpt_dir, jax.device_get(to_save), int(state.step)
+                )
 
     summary["train_time_sec"] = time.perf_counter() - train_t0
     summary["total_train_images"] = total_images

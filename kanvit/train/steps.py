@@ -54,6 +54,41 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else (), **kw)
 
 
+def make_train_scan(
+    bf16: bool = False, donate: bool = True, out_shardings=None
+) -> Callable:
+    """Returns ``run(state, xs, ys) -> (state, losses, logits)`` (jitted):
+    ``K`` optimizer steps in ONE device program via ``lax.scan`` over stacked
+    batches ``xs (K, B, ...)`` / ``ys (K, B)``.
+
+    Per-step dispatch costs nothing on a local host but milliseconds on a
+    tunneled device transport — at the reference's tiny MNIST config
+    (~1.5 ms of device work per step) it dominates the step time and its
+    day-to-day variance swamps any real signal (measured 30.6k-44.9k img/s
+    across identical code). Scanning K steps per call amortizes one dispatch
+    over K batches; XLA compiles the scan body once, so compile time does
+    not grow with K. Outputs stack per-step losses ``(K,)`` and logits
+    ``(K, B, C)`` so epoch metrics keep working.
+    """
+
+    def train_scan(state, xs, ys):
+        def body(st, xy):
+            x, y = xy
+            (loss, logits), grads = jax.value_and_grad(
+                lambda p: _loss_and_logits(st.apply_fn, p, x, y, bf16),
+                has_aux=True,
+            )(st.params)
+            return st.apply_gradients(grads=grads), (loss, logits)
+
+        state, (losses, logits) = jax.lax.scan(body, state, (xs, ys))
+        return state, losses, logits
+
+    kw = {}
+    if out_shardings is not None:
+        kw["out_shardings"] = out_shardings
+    return jax.jit(train_scan, donate_argnums=(0,) if donate else (), **kw)
+
+
 def make_eval_step(
     bf16: bool = False, out_shardings=None, per_example: bool = False
 ) -> Callable:

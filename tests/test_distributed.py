@@ -13,6 +13,10 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.slow  # real subprocess clusters, minutes each
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _CHILD = """
@@ -29,7 +33,7 @@ summary = main([
     "--n-blocks", "1", "--n-heads", "2", "--d-hidden", "32",
     "--limit-train-batches", "4", "--limit-eval-batches", "2",
     "--log-dir", {log_dir!r},
-])
+] + {extra!r})
 print("SUMMARY:" + json.dumps({{k: summary[k] for k in
     ("train_loss", "test_loss", "test_accuracy")}}))
 """
@@ -41,7 +45,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_cpu_cluster(tmp_path):
+def _run_cluster(tmp_path, extra=(), tag=""):
+    """Run the trainer in a real 2-process jax.distributed CPU cluster
+    (2 local devices per process -> 4 global). Returns per-process summaries."""
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORM_NAME"] = "cpu"
@@ -56,7 +62,8 @@ def test_two_process_cpu_cluster(tmp_path):
         subprocess.Popen(
             [sys.executable, "-c", _CHILD.format(
                 repo=REPO, coord=coord, pid=str(i),
-                log_dir=str(tmp_path / f"logs{i}"),
+                log_dir=str(tmp_path / f"logs{tag}{i}"),
+                extra=list(extra),
             )],
             env=env, cwd=REPO, stdout=subprocess.PIPE,
             stderr=subprocess.PIPE, text=True,
@@ -70,6 +77,11 @@ def test_two_process_cpu_cluster(tmp_path):
     for out, _ in outs:
         line = [l for l in out.splitlines() if l.startswith("SUMMARY:")][0]
         summaries.append(json.loads(line[len("SUMMARY:"):]))
+    return summaries
+
+
+def test_two_process_cpu_cluster(tmp_path):
+    summaries = _run_cluster(tmp_path)
     # Both controllers executed the same SPMD program over a global 4-device
     # mesh: the replicated metrics must agree bit-for-bit.
     assert summaries[0] == summaries[1]
@@ -79,6 +91,25 @@ def test_two_process_cpu_cluster(tmp_path):
     assert any(f.endswith(".txt") for f in logs0)
     logs1 = os.listdir(tmp_path / "logs1")
     assert not any(f.endswith(".txt") for f in logs1)
+
+
+def test_cluster_tensor_parallel_checkpoint_resume(tmp_path):
+    """Checkpoint + resume under multi-host TENSOR parallelism: with
+    model-sharded params spanning hosts, saving must all-gather before
+    device_get (loop.py gather_state) — a bare device_get on proc 0 would
+    hit non-addressable shards and throw."""
+    ckpt = str(tmp_path / "ckpt")
+    tp = ["--n-model-shards", "2", "--ckpt-dir", ckpt]
+    s1 = _run_cluster(tmp_path, extra=tp, tag="a")
+    assert s1[0] == s1[1]
+    assert os.path.exists(os.path.join(ckpt, "latest"))
+    # Second run resumes from the proc-0-written checkpoint on both procs
+    # (restore -> shard_state re-placement onto the 2-host (2, 2) mesh).
+    s2 = _run_cluster(tmp_path, extra=tp + ["--resume"], tag="b")
+    assert s2[0] == s2[1]
+    # Resumed run continued from trained params: losses must differ from the
+    # fresh run's (same data order, different starting point).
+    assert s2[0]["train_loss"] != s1[0]["train_loss"]
 
 
 def test_process_batch_slice_single_process():

@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,7 @@ def test_entry_jittable():
     assert bool(jnp.isfinite(out).all())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     # Inline path: conftest provides 8 virtual CPU devices.
     ge = _load_graft()
@@ -44,6 +47,7 @@ def test_dryrun_multichip_2():
     ge.dryrun_multichip(2)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_bootstraps_when_devices_short():
     # Force the bootstrap path even though 8 devices exist: ask for more
     # than the conftest mesh provides. The subprocess must build a 16-device
@@ -52,6 +56,7 @@ def test_dryrun_multichip_bootstraps_when_devices_short():
     ge.dryrun_multichip(16)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_ambient():
     """Replay the driver: clean subprocess, conftest env stripped, ambient
     platform. This is the test that would have caught MULTICHIP_r01."""
@@ -74,6 +79,7 @@ def test_dryrun_multichip_ambient():
     assert "dryrun_multichip OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_bench_ambient_contract():
     """bench.py must print one parseable JSON line under the AMBIENT
     platform (the driver's exact invocation), not just under the conftest

@@ -49,6 +49,7 @@ def test_msa_parity(variant):
     assert err < 1e-4, f"msa {variant} err {err}"
 
 
+@pytest.mark.slow
 def test_all_seven_variants_train_construct():
     """The cheby and fourier ViT variants crash in the reference
     (SURVEY §2.9.1-2); kanvit must construct and run all seven."""
@@ -72,6 +73,7 @@ def test_unknown_variant_raises():
         m.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 32, 32)))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     """Rematerialized blocks must produce identical logits and grads."""
     import jax

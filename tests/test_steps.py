@@ -1,0 +1,42 @@
+"""Train-step program parity: the scanned K-steps-per-call path used by
+bench.py must compute exactly the same optimization trajectory as K
+sequential single-step calls (same grads, same Adam updates, same losses)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kanvit.models import create_model
+from kanvit.train.state import create_train_state
+from kanvit.train.steps import make_train_scan, make_train_step
+
+
+def test_train_scan_matches_sequential_steps():
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, 28, 28)))
+    K, B = 3, 8
+    xs = jax.random.normal(jax.random.PRNGKey(1), (K, B, 1, 28, 28))
+    ys = jax.random.randint(jax.random.PRNGKey(2), (K, B), 0, 10)
+
+    step = make_train_step(donate=False)
+    st_seq = state
+    losses_seq = []
+    for k in range(K):
+        st_seq, loss, logits = step(st_seq, xs[k], ys[k])
+        losses_seq.append(float(loss))
+
+    scan = make_train_scan(donate=False)
+    st_scan, losses, logits_stack = scan(state, xs, ys)
+
+    assert losses.shape == (K,)
+    assert logits_stack.shape == (K, B, 10)
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st_scan.params["v_class"]),
+        np.asarray(st_seq.params["v_class"]), rtol=1e-5, atol=1e-6,
+    )
+    assert int(st_scan.step) == int(st_seq.step) == K

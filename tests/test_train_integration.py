@@ -9,6 +9,8 @@ import pytest
 
 from kanvit.train.loop import TrainConfig, run
 
+pytestmark = pytest.mark.slow  # full trainer runs, tens of seconds each
+
 
 def _cfg(tmp_path, **kw):
     base = dict(
