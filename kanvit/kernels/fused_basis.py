@@ -105,7 +105,8 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
     return int(max(8, min(1024, (bn // 8) * 8)))
 
 
-def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
+def _should_fuse(n: int, f: int, family: str = "", nin: int = 0,
+                 kb_ok: bool = False) -> bool:
     if dispatch.get_impl() == "pallas":
         return True
     if not dispatch.use_pallas():
@@ -135,11 +136,11 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0) -> bool:
     # (tools/tpu_ab_families.py) crossing over by N = 32768. Below that the
     # XLA path's fused transcendentals win or tie (and the tiny reference
     # configs are dispatch-bound either way). Wide-grid layers (> 8 basis
-    # functions per input feature — the sine/fourier grid-28 mappers) stay
-    # on XLA: their weights exceed the weight-resident kernel tiers and the
-    # out-blocked tier's per-slab transcendental recompute loses (sine
-    # mapper measured 370 -> 345 img/s fused).
-    return n >= 32768 and nin > 0 and f <= 8 * nin
+    # functions per input feature — the sine/fourier grid-28 mappers)
+    # engage only when the K-blocked streaming tier fits (``kb_ok``, round
+    # 3): the out-blocked tier's per-slab transcendental recompute loses
+    # there (sine mapper measured 370 -> 345 img/s fused under round 2).
+    return n >= 32768 and nin > 0 and (f <= 8 * nin or kb_ok)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -930,6 +931,346 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
 
 
 # ---------------------------------------------------------------------------
+# K-blocked streaming tier (wide-grid lazy families: sine/fourier mappers)
+# ---------------------------------------------------------------------------
+#
+# The grid-28 trig mappers (sine in=768 ng=28, fourier ng=56 — reference
+# models/sinekan.py:72, models/nfkan.py:36-52) have F = ng*in up to 43k: the
+# (F, out) weight exceeds every weight-resident tier, and the out-blocked
+# tier recomputes the transcendental basis once per out slab (measured
+# loss vs XLA). This tier adds a second grid axis over BASIS-SLICE blocks
+# instead: each (row block, k) step computes the gb slices of block k once,
+# streams the (gb*in, out) weight slab, and accumulates y (or dx) in a
+# VMEM scratch that lives across the k axis (k innermost). Each basis
+# element is computed exactly once per pass; the basis and the full weight
+# never touch HBM together. dw runs as a separate kernel with the grid
+# transposed (rows innermost) so each (gb*in, out) f32 dw block stays
+# resident while all rows accumulate into it. Lazy families only: their
+# ``setup`` holds no per-ng state, so re-running it per k step is free.
+#
+# Extras are delivered k-blocked (phase rows / freq lanes of block k), so
+# the family closures index them with the LOCAL slice id — sine's closures
+# work unchanged; fourier needs the interleaved variant below (its cos/sin
+# switch tests the global id).
+
+
+def fourier_family_kb(grid_size: int) -> Family:
+    """Fourier with INTERLEAVED slice order [cos1, sin1, cos2, sin2, ...]
+    so a k-block's local parity equals the global parity (gb is kept even)
+    and the harmonic multiplier rides a k-blocked SMEM vector ``hk``."""
+
+    def setup(x, hk_ref):
+        return {"x": x, "hk": hk_ref}
+
+    def basis(ctx, li):
+        m = ctx["hk"][0, li]
+        a = m * ctx["x"]
+        return jnp.cos(a) if li % 2 == 0 else jnp.sin(a)
+
+    def basis_grad(ctx, li):
+        m = ctx["hk"][0, li]
+        a = m * ctx["x"]
+        if li % 2 == 0:
+            return jnp.cos(a), -m * jnp.sin(a)
+        return jnp.sin(a), m * jnp.cos(a)
+
+    return Family(2 * grid_size, setup, basis, basis_grad, lazy=True)
+
+
+def _fourier_interleave(grid_size: int):
+    """Permutation (ng,) mapping [cos1..cosG, sin1..sinG] -> interleaved."""
+    idx = []
+    for h in range(grid_size):
+        idx += [h, grid_size + h]
+    return jnp.array(idx)
+
+
+def _fwd_kernel_kb(*refs, family, nin, gb):
+    x_ref, w_ref, *extra_refs, y_ref, basis_scr, acc = refs
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    for li in range(gb):
+        basis_scr[:, li * nin : (li + 1) * nin] = family.basis(ctx, li).astype(
+            basis_scr.dtype
+        )
+    acc[:] += jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        y_ref[:] = acc[:].astype(y_ref.dtype)
+
+
+def _dx_kernel_kb(*refs, family, nin, gb):
+    x_ref, w_ref, g_ref, *extra_refs, dx_ref, acc = refs
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, gb*nin) f32
+    for li in range(gb):
+        _, db = family.basis_grad(ctx, li)
+        acc[:] += gw[:, li * nin : (li + 1) * nin] * db
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        dx_ref[:] = acc[:].astype(dx_ref.dtype)
+
+
+def _dw_kernel_kb(*refs, family, nin, gb):
+    # Grid (k, rows), rows innermost: the (gb*nin, out) f32 dw output block
+    # stays VMEM-resident across all rows of its k.
+    x_ref, g_ref, *extra_refs, dw_ref, basis_scr = refs
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *extra_refs)
+    for li in range(gb):
+        basis_scr[:, li * nin : (li + 1) * nin] = family.basis(ctx, li).astype(
+            basis_scr.dtype
+        )
+    dw_ref[:] += jax.lax.dot_general(
+        basis_scr[:], g_ref[:].astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dw_kernel_kb_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
+                       dw_ref, dfreq_ref, basis_scr, dfacc, *, nin, gb):
+    """Sine dw + in-kernel dfreq (freq is trainable, sinekan.py:65-70).
+    The XLA dfreq expression materializes the full (N, in, ng) basis-grad —
+    4.3 GB at the ViT-S mapper — so here it rides the dw pass:
+    ``dfreq_g = sum_{n,i} (g @ W^T)[n, g*in+i] * x[n,i] * cos(arg)``."""
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        for li in range(gb):
+            dfacc[0, li] = 0.0
+
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, gb*nin) f32
+    for li in range(gb):
+        a = x * freq_ref[0, li] + phase_ref[li, :]
+        s = jnp.sin(a)
+        basis_scr[:, li * nin : (li + 1) * nin] = s.astype(basis_scr.dtype)
+        dfacc[0, li] += jnp.sum(
+            gw[:, li * nin : (li + 1) * nin] * x * jnp.cos(a)
+        )
+    dw_ref[:] += jax.lax.dot_general(
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        for li in range(gb):
+            dfreq_ref[0, li] = dfacc[0, li]
+
+
+def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
+             pair: bool = False):
+    """(gb, bn) for the K-blocked tier, or None. ``pair``: gb must stay
+    even (fourier's interleaved cos/sin parity)."""
+    for gb in (8, 4, 2):
+        if ng % gb or gb >= ng or (pair and gb % 2):
+            continue
+        fk = gb * nin
+        # Worst fixed set across the three kernels: fwd/dx double-buffer the
+        # (fk, out) weight slab; dw holds the f32 dw block plus its copy-out.
+        fixed = max(2 * fk * out * wb, 2 * fk * out * 4)
+        per_row = (
+            4 * _round_up(nin, 128) * 4          # x f32 / grad temp / acc
+            + 2 * fk * max(db, 4)                # basis scratch or f32 gw
+            + 2 * (2 * _round_up(nin, 128) * xb + _round_up(out, 128) * xb)
+        )
+        bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+        bn = int(min(512, (bn // 8) * 8))
+        if bn >= 32:
+            return gb, bn
+    return None
+
+
+def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False) -> bool:
+    """Shape/dtype-only probe of ``_kb_strategy`` for the dispatch gate."""
+    wb = jnp.dtype(wdt).itemsize
+    if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
+        return False
+    db = 2 if (jnp.dtype(xdt) == jnp.bfloat16
+               and jnp.dtype(wdt) == jnp.bfloat16) else 4
+    return _pick_kb(nin, out, ng, jnp.dtype(xdt).itemsize, wb, db,
+                    pair=pair) is not None
+
+
+def _kb_strategy(x2d, w3d, pair: bool = False):
+    """Engage kb only where the weight-resident tiers cannot hold the full
+    (F, out) weight (+ f32 dw) — i.e. where the alternative is the
+    out-blocked tier's per-slab transcendental recompute or XLA's
+    HBM-materialized basis."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    wb = w3d.dtype.itemsize
+    if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
+        return None
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    return _pick_kb(nin, out, ng, x2d.dtype.itemsize, wb, db, pair=pair)
+
+
+def _fused_fwd_kb(x2d, w3d, extras, kb_extra_specs, family, gb, bn):
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    nk = ng // gb
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    bd = _dot_dtype(x2d, w3d)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel_kb, family=family, nin=nin, gb=gb),
+        grid=(np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * nin, out), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            *kb_extra_specs(lambda i, k: k),
+        ],
+        out_specs=pl.BlockSpec((bn, out), lambda i, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, out), x2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bn, gb * nin), bd),
+            pltpu.VMEM((bn, out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d.reshape(ng * nin, out), *extras)
+    return y[:n]
+
+
+def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
+                  sine_freq_phase=None):
+    """dx via (rows, k) accumulation; dw via the transposed (k, rows) grid.
+    ``sine_freq_phase``: (freq2d, phase) engages the sine dw kernel with
+    in-kernel dfreq; returns (dx, dw[, dfreq2d])."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    nk = ng // gb
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero contribs
+    bd = _dot_dtype(x2d, w3d)
+    w2d = w3d.reshape(ng * nin, out)
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel_kb, family=family, nin=nin, gb=gb),
+        grid=(np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * nin, out), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *kb_extra_specs(lambda i, k: k),
+        ],
+        out_specs=pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, nin), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, gp, *extras)
+
+    if sine_freq_phase is not None:
+        freq2d, phase = sine_freq_phase
+        dw2d, dfreqk = pl.pallas_call(
+            functools.partial(_dw_kernel_kb_sine, nin=nin, gb=gb),
+            grid=(nk, np_ // bn),
+            in_specs=[
+                pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, out), lambda k, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gb), lambda k, i: (0, k),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((gb, nin), lambda k, i: (k, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, gb), lambda k, i: (k, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
+                jax.ShapeDtypeStruct((nk, gb), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bn, gb * nin), bd),
+                pltpu.SMEM((1, gb), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=dispatch.interpret_mode(),
+        )(xp, w2d, gp, freq2d, phase)
+        dw = dw2d.astype(w3d.dtype).reshape(ng, nin, out)
+        return dx[:n], dw, dfreqk.reshape(1, ng).astype(freq2d.dtype)
+
+    dw2d = pl.pallas_call(
+        functools.partial(_dw_kernel_kb, family=family, nin=nin, gb=gb),
+        grid=(nk, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *kb_extra_specs(lambda k, i: k),
+        ],
+        out_specs=pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bn, gb * nin), bd)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, gp, *extras)
+    return dx[:n], dw2d.astype(w3d.dtype).reshape(ng, nin, out)
+
+
+# ---------------------------------------------------------------------------
 # Per-family custom-VJP ops over (x2d, w3d[, extras])
 # ---------------------------------------------------------------------------
 
@@ -1150,6 +1491,241 @@ def _rbf_base_op_bwd(num_grids, denominator, res, g):
 _rbf_base_op.defvjp(_rbf_base_op_fwd, _rbf_base_op_bwd)
 
 
+# --- RBF with fused LayerNorm + silu base branch (FastKAN) -------------------
+#
+# FastKANLayer normalizes x INSIDE the layer before the RBF expansion
+# (reference fastkan.py:66-70). Keeping that LayerNorm on the XLA side of
+# the custom VJP costs a separate HBM round trip per projection — measured
+# ~0.7 ms/block at the ViT-S fast MSA (18 LN chains fwd+bwd) — and forces
+# the dual-input op above to stream BOTH ln(x) and raw x. This op streams
+# only raw x and computes the LN (and its VJP) in-kernel.
+#
+# Row packing puts p consecutive rows side by side in each 128-lane kernel
+# row, so the LN statistics must be per lane GROUP (seg = the original
+# feature width). Mosaic cannot lower minor-dim reshapes, but 2-D slices at
+# seg granularity lower fine (the basis writes already rely on this), so
+# the segment loop computes each group's mean/rstd with lane reductions and
+# writes the normalized slice into a VMEM scratch.
+
+def _seg_ln_into(xr, gam, bet, seg, ln_scr, xhat_scr):
+    """Segment-wise LayerNorm (eps follows kan_bases.layernorm / the
+    reference's nn.LayerNorm default, 1e-5). Writes x-hat and ln into the
+    provided scratches; returns the per-segment rstd list for the VJP."""
+    rstds = []
+    for r in range(xr.shape[1] // seg):
+        sl = slice(r * seg, (r + 1) * seg)
+        xs = xr[:, sl]
+        m = jnp.mean(xs, axis=1, keepdims=True)
+        xc = xs - m
+        v = jnp.mean(xc * xc, axis=1, keepdims=True)
+        rstd = jax.lax.rsqrt(v + 1e-5)
+        xh = xc * rstd
+        if xhat_scr is not None:
+            xhat_scr[:, sl] = xh
+        ln_scr[:, sl] = xh * gam[:, sl] + bet[:, sl]
+        rstds.append(rstd)
+    return rstds
+
+
+def _rbf_ln_fwd_kernel(xr_ref, w_ref, gam_ref, bet_ref, grid_ref, y_ref,
+                       basis_scr, ln_scr, *, ng, denominator, nin, seg):
+    xr = xr_ref[:].astype(jnp.float32)
+    _seg_ln_into(xr, gam_ref[:].astype(jnp.float32),
+                 bet_ref[:].astype(jnp.float32), seg, ln_scr, None)
+    ln = ln_scr[:]
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.exp(-u * u).astype(
+            basis_scr.dtype
+        )
+    basis_scr[:, ng * nin :] = (xr * jax.nn.sigmoid(xr)).astype(basis_scr.dtype)
+    y_ref[:] = jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(y_ref.dtype)
+
+
+def _rbf_ln_bwd_kernel(xr_ref, w_ref, g_ref, gam_ref, bet_ref, grid_ref,
+                       dx_ref, dw_ref, dgam_ref, dbet_ref,
+                       basis_scr, ln_scr, xhat_scr, dw_acc, dgb_acc,
+                       *, ng, denominator, nin, seg):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        dgb_acc[:] = jnp.zeros_like(dgb_acc)
+
+    xr = xr_ref[:].astype(jnp.float32)
+    gam = gam_ref[:].astype(jnp.float32)
+    rstds = _seg_ln_into(xr, gam, bet_ref[:].astype(jnp.float32), seg,
+                         ln_scr, xhat_scr)
+    ln = ln_scr[:]
+    xhat = xhat_scr[:]
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F) f32
+    dln = jnp.zeros(xr.shape, jnp.float32)
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        b = jnp.exp(-u * u)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
+        dln += gw[:, gi * nin : (gi + 1) * nin] * ((-2.0 / denominator) * u * b)
+    sig = jax.nn.sigmoid(xr)
+    s = xr * sig
+    basis_scr[:, ng * nin :] = s.astype(basis_scr.dtype)
+    dx_silu = gw[:, ng * nin :] * (sig + s * (1.0 - sig))
+
+    # LN VJP. Padded tail rows carry zero cotangents, so their (finite)
+    # x-hat contributes nothing to dgamma/dbeta or dx.
+    dgb_acc[0:1, :] += jnp.sum(dln * xhat, axis=0, keepdims=True)
+    dgb_acc[1:2, :] += jnp.sum(dln, axis=0, keepdims=True)
+    gxh = dln * gam
+    for r in range(xr.shape[1] // seg):
+        sl = slice(r * seg, (r + 1) * seg)
+        gs = gxh[:, sl]
+        xh = xhat[:, sl]
+        m1 = jnp.mean(gs, axis=1, keepdims=True)
+        m2 = jnp.mean(gs * xh, axis=1, keepdims=True)
+        dx_ref[:, sl] = (
+            rstds[r] * (gs - m1 - xh * m2) + dx_silu[:, sl]
+        ).astype(dx_ref.dtype)
+
+    dw_acc[:] += jax.lax.dot_general(
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        dgam_ref[:] = dgb_acc[0:1, :].astype(dgam_ref.dtype)
+        dbet_ref[:] = dgb_acc[1:2, :].astype(dbet_ref.dtype)
+
+
+def _rbf_ln_bn(n, nin, ng1, out, x2d, w3d, with_dw):
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    xb = x2d.dtype.itemsize
+    # One streamed row input (raw x) + outputs; the ln / x-hat scratches and
+    # the LN temps ride as extra per-row (bn, nin) f32 arrays.
+    stream = 2 * (
+        (2 if with_dw else 1) * _round_up(nin, 128) * xb
+        + _round_up(out, 128) * xb
+    )
+    return _pick_row_block(
+        nin, out, ng1, n_temps=(6 if with_dw else 4),
+        w_bytes=w3d.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
+        stream_bytes=stream, per_g=False,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _rbf_ln_base_op(xr2d, gam2d, bet2d, w3d, grid2d, num_grids, denominator,
+                    seg):
+    n, nin = xr2d.shape
+    ng1, _, out = w3d.shape  # num_grids + 1 (silu slice last)
+    f = ng1 * nin
+    bn = min(_rbf_ln_bn(n, nin, ng1, out, xr2d, w3d, False),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(
+            _rbf_ln_fwd_kernel, ng=num_grids, denominator=denominator,
+            nin=nin, seg=seg,
+        ),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, out), xr2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bn, f), _dot_dtype(xr2d, w3d)),
+            pltpu.VMEM((bn, nin), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xrp, w3d.reshape(f, out), gam2d, bet2d, grid2d)
+    return y[:n]
+
+
+def _rbf_ln_base_op_fwd(xr2d, gam2d, bet2d, w3d, grid2d, num_grids,
+                        denominator, seg):
+    return (
+        _rbf_ln_base_op(xr2d, gam2d, bet2d, w3d, grid2d, num_grids,
+                        denominator, seg),
+        (xr2d, gam2d, bet2d, w3d, grid2d),
+    )
+
+
+def _rbf_ln_base_op_bwd(num_grids, denominator, seg, res, g):
+    xr2d, gam2d, bet2d, w3d, grid2d = res
+    n, nin = xr2d.shape
+    ng1, _, out = w3d.shape
+    f = ng1 * nin
+    bn = min(_rbf_ln_bn(n, nin, ng1, out, xr2d, w3d, True),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero contributions
+    dx, dw2d, dgam, dbet = pl.pallas_call(
+        functools.partial(
+            _rbf_ln_bwd_kernel, ng=num_grids, denominator=denominator,
+            nin=nin, seg=seg,
+        ),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, nin), xr2d.dtype),
+            jax.ShapeDtypeStruct((f, out), w3d.dtype),
+            jax.ShapeDtypeStruct((1, nin), gam2d.dtype),
+            jax.ShapeDtypeStruct((1, nin), bet2d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, f), _dot_dtype(xr2d, w3d)),
+            pltpu.VMEM((bn, nin), jnp.float32),
+            pltpu.VMEM((bn, nin), jnp.float32),
+            pltpu.VMEM((f, out), jnp.float32),
+            pltpu.VMEM((2, nin), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xrp, w3d.reshape(f, out), gp, gam2d, bet2d, grid2d)
+    return (
+        dx[:n], dgam, dbet, dw2d.reshape(ng1, nin, out),
+        jnp.zeros_like(grid2d),
+    )
+
+
+_rbf_ln_base_op.defvjp(_rbf_ln_base_op_fwd, _rbf_ln_base_op_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _rbf_op(x2d, w3d, grid2d, num_grids, denominator):
     fam = rbf_family(num_grids, denominator)
@@ -1170,9 +1746,28 @@ def _rbf_op_bwd(num_grids, denominator, res, g):
 _rbf_op.defvjp(_rbf_op_fwd, _rbf_op_bwd)
 
 
+def _sine_kb_specs(gb, nin):
+    """k-blocked extras for sine: freq lanes (1, gb) SMEM + phase rows
+    (gb, nin) VMEM of basis block k. ``ksel`` maps grid ids to k (the two
+    bwd kernels put k on different grid axes)."""
+    def make(ksel):
+        return [
+            pl.BlockSpec((1, gb), lambda *ix: (0, ksel(*ix)),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((gb, nin), lambda *ix: (ksel(*ix), 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    return make
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _sine_op(x2d, w3d, freq2d, phase, grid_size):
     fam = sine_family(grid_size)
+    kb = _kb_strategy(x2d, w3d)
+    if kb:
+        gb, bn = kb
+        return _fused_fwd_kb(x2d, w3d, (freq2d, phase),
+                             _sine_kb_specs(gb, x2d.shape[1]), fam, gb, bn)
     return _fused_fwd(
         x2d, w3d, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)), fam
     )
@@ -1185,6 +1780,14 @@ def _sine_op_fwd(x2d, w3d, freq2d, phase, grid_size):
 def _sine_op_bwd(grid_size, res, g):
     x2d, w3d, freq2d, phase = res
     fam = sine_family(grid_size)
+    kb = _kb_strategy(x2d, w3d)
+    if kb:
+        gb, bn = kb
+        dx, dw, dfreq = _fused_bwd_kb(
+            x2d, w3d, g, (freq2d, phase), _sine_kb_specs(gb, x2d.shape[1]),
+            fam, gb, bn, sine_freq_phase=(freq2d, phase),
+        )
+        return dx, dw, dfreq, jnp.zeros_like(phase)
     dx, dw = _fused_bwd(
         x2d, w3d, g, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)),
         fam,
@@ -1200,8 +1803,31 @@ def _sine_op_bwd(grid_size, res, g):
 _sine_op.defvjp(_sine_op_fwd, _sine_op_bwd)
 
 
+def _fourier_kb_specs(gb):
+    def make(ksel):
+        return [
+            pl.BlockSpec((1, gb), lambda *ix: (0, ksel(*ix)),
+                         memory_space=pltpu.SMEM),
+        ]
+    return make
+
+
+def _fourier_hk(grid_size):
+    """Harmonic multiplier per interleaved slice: [1, 1, 2, 2, ...]."""
+    return jnp.repeat(
+        jnp.arange(1, grid_size + 1, dtype=jnp.float32), 2
+    ).reshape(1, -1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fourier_op(x2d, w3d, grid_size):
+    kb = _kb_strategy(x2d, w3d, pair=True)
+    if kb:
+        gb, bn = kb
+        w3i = w3d[_fourier_interleave(grid_size)]
+        return _fused_fwd_kb(x2d, w3i, (_fourier_hk(grid_size),),
+                             _fourier_kb_specs(gb),
+                             fourier_family_kb(grid_size), gb, bn)
     return _fused_fwd(x2d, w3d, (), (), fourier_family(grid_size))
 
 
@@ -1211,6 +1837,14 @@ def _fourier_op_fwd(x2d, w3d, grid_size):
 
 def _fourier_op_bwd(grid_size, res, g):
     x2d, w3d = res
+    kb = _kb_strategy(x2d, w3d, pair=True)
+    if kb:
+        gb, bn = kb
+        perm = _fourier_interleave(grid_size)
+        dx, dwi = _fused_bwd_kb(x2d, w3d[perm], g, (_fourier_hk(grid_size),),
+                                _fourier_kb_specs(gb),
+                                fourier_family_kb(grid_size), gb, bn)
+        return dx, dwi[jnp.argsort(perm)]
     dx, dw = _fused_bwd(x2d, w3d, g, (), (), fourier_family(grid_size))
     return dx, dw
 
@@ -1331,11 +1965,31 @@ def fastkan(x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
             x, ln_gamma, ln_beta, rbf_grid, rbf_denominator, spline_weight,
             base_weight, base_bias,
         )
-    # LayerNorm stays outside the custom VJP: XLA fuses and differentiates it.
-    ln = xf if ln_gamma is None else K.layernorm(xf, ln_gamma, ln_beta)
     w3d = spline_weight.reshape(out, nin, ng).transpose(2, 1, 0)
     p = _row_pack_factor(nin)
     grid2d = rbf_grid.reshape(1, -1)
+    if base_weight is not None and ln_gamma is not None:
+        # Fold the LayerNorm AND the silu base branch into one kernel that
+        # streams only raw x (segment-wise LN over packed lane groups, LN
+        # VJP in-kernel). Outside the kernel the 18 per-block LN chains cost
+        # ~0.7 ms at the ViT-S fast MSA and the dual-input op doubled the
+        # streamed input traffic.
+        w3b = jnp.concatenate([w3d, base_weight.T[None]], axis=0)
+        if _rbf_ln_bn(0, p * nin, ng + 1, p * out, xf, w3b, True) >= 32:
+            gam2d = jnp.tile(ln_gamma, p).reshape(1, -1)
+            bet2d = jnp.tile(ln_beta, p).reshape(1, -1)
+            if p > 1:
+                xrp, np_ = _packed_rows(xf, p)
+                y = _rbf_ln_base_op(xrp, gam2d, bet2d, _pack_w3d(w3b, p),
+                                    grid2d, ng, float(rbf_denominator), nin)
+                y = y.reshape(np_, out)[: xf.shape[0]]
+            else:
+                y = _rbf_ln_base_op(xf, gam2d, bet2d, w3b, grid2d, ng,
+                                    float(rbf_denominator), nin)
+            return (y + base_bias).reshape(*lead, out)
+    # LayerNorm stays outside the custom VJP below this point: XLA fuses and
+    # differentiates it.
+    ln = xf if ln_gamma is None else K.layernorm(xf, ln_gamma, ln_beta)
     if base_weight is not None:
         # Fold the silu base branch into the kernel via the dual-input op
         # (it consumes RAW x while the RBF consumes LN(x)) whenever the
@@ -1372,7 +2026,8 @@ def sinekan(x, freq, phase, amplitudes, bias):
     out = amplitudes.shape[0]
     ng = freq.shape[-1]
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], nin * ng, nin=nin):
+    kb_ok = _kb_eligible(nin, ng, out, x.dtype, amplitudes.dtype)
+    if not _should_fuse(xf.shape[0], nin * ng, nin=nin, kb_ok=kb_ok):
         return K.sinekan_forward(x, freq, phase, amplitudes, bias)
     w3d = amplitudes.transpose(2, 1, 0)  # (ng, in, out)
     p = _row_pack_factor(nin)
@@ -1393,7 +2048,10 @@ def fourierkan(x, coeffs, bias):
     nin = x.shape[-1]
     _, out, _, grid_size = coeffs.shape
     xf = x.reshape(-1, nin)
-    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin):
+    kb_ok = _kb_eligible(nin, 2 * grid_size, out, x.dtype, coeffs.dtype,
+                         pair=True)
+    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin,
+                        kb_ok=kb_ok):
         return K.fourierkan_forward(x, coeffs, bias)
     # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
     w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)

@@ -150,6 +150,31 @@ def test_fused_fastkan(x):
     _check_grads(f_pal, f_ref, (x, spw, bw, bb))
 
 
+def test_fused_fastkan_ln_in_kernel(x):
+    """The LN-fused single-input op (`_rbf_ln_base_op`): segment-wise
+    LayerNorm over packed lane groups + LN VJP in-kernel. Non-trivial
+    gamma/beta so the dgamma/dbeta accumulators and the packed-group
+    fold-back are exercised (values + grads vs K.fastkan_forward)."""
+    from kanvit.kernels import fused_basis as FB
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    lg = 1.0 + 0.3 * jax.random.normal(k4, (IN,))
+    lb = 0.2 * jax.random.normal(k5, (IN,))
+    rg, den = jnp.linspace(-2, 2, 8), 4.0 / 7.0
+    spw = jax.random.normal(k1, (OUT, IN * 8)) * 0.1
+    bw = jax.random.normal(k2, (OUT, IN)) * 0.1
+    bb = jax.random.normal(k3, (OUT,)) * 0.1
+    f_pal = lambda x, lg, lb, s, w, b: FB.fastkan(x, lg, lb, rg, den, s, w, b)
+    f_ref = lambda x, lg, lb, s, w, b: K.fastkan_forward(
+        x, lg, lb, rg, den, s, w, b
+    )
+    assert np.abs(np.asarray(
+        f_pal(x, lg, lb, spw, bw, bb) - f_ref(x, lg, lb, spw, bw, bb)
+    )).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
+
+
 def test_fused_sine(x):
     from kanvit.kernels import fused_basis as FB
 
@@ -177,6 +202,94 @@ def test_fused_fourier(x):
     f_ref = lambda x, c, b: K.fourierkan_forward(x, c, b)
     assert np.abs(np.asarray(f_pal(x, co, bias) - f_ref(x, co, bias))).max() < 1e-5
     _check_grads(f_pal, f_ref, (x, co, bias))
+
+
+def test_kb_streaming_sine(x):
+    """K-blocked streaming tier, sine: fwd/dx/dw/dfreq vs the closed-form
+    reference at tiny forced (gb, bn). Covers the k-innermost y/dx
+    accumulators, the transposed dw grid, and the in-kernel dfreq."""
+    from kanvit.kernels import fused_basis as FB
+
+    ng, gb, bn = 4, 2, 8
+    key = jax.random.PRNGKey(21)
+    k1, k2 = jax.random.split(key)
+    freq2d = (jnp.arange(1, ng + 1.0) / ng).reshape(1, -1)
+    phase = jax.random.normal(k1, (ng, IN)) * 0.3
+    w3d = jax.random.normal(k2, (ng, IN, OUT)) * 0.1
+    fam = FB.sine_family(ng)
+    specs = FB._sine_kb_specs(gb, IN)
+
+    def ref(x, w3d, freq2d):
+        b = jnp.sin(x[:, :, None] * freq2d[0] + phase.T[None])  # (N, in, ng)
+        return jnp.einsum("nig,gio->no", b, w3d)
+
+    y = FB._fused_fwd_kb(x, w3d, (freq2d, phase), specs, fam, gb, bn)
+    assert np.abs(np.asarray(y - ref(x, w3d, freq2d))).max() < 1e-5
+
+    g = jax.random.normal(jax.random.PRNGKey(22), (N, OUT)) * 0.5
+    dx, dw, dfreq = FB._fused_bwd_kb(
+        x, w3d, g, (freq2d, phase), specs, fam, gb, bn,
+        sine_freq_phase=(freq2d, phase),
+    )
+    rx, rw, rf = jax.grad(
+        lambda x, w, f: (ref(x, w, f) * g).sum(), argnums=(0, 1, 2)
+    )(x, w3d, freq2d)
+    assert np.abs(np.asarray(dx - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dw - rw)).max() < 1e-4
+    assert np.abs(np.asarray(dfreq - rf)).max() < 1e-3
+
+
+def test_kb_streaming_fourier(x):
+    """K-blocked streaming tier, fourier: the interleaved slice order keeps
+    local parity == global parity; dw is un-permuted back to the
+    [cos..., sin...] layout."""
+    from kanvit.kernels import fused_basis as FB
+
+    G, gb, bn = 3, 2, 8
+    ng = 2 * G
+    w3d = jax.random.normal(jax.random.PRNGKey(23), (ng, IN, OUT)) * 0.1
+    fam = FB.fourier_family_kb(G)
+    perm = FB._fourier_interleave(G)
+    hk = FB._fourier_hk(G)
+    specs = FB._fourier_kb_specs(gb)
+
+    def ref(x, w3d):  # [cos 1..G | sin 1..G] slice order
+        ks = jnp.arange(1, G + 1.0)
+        b = jnp.concatenate(
+            [jnp.cos(x[:, :, None] * ks), jnp.sin(x[:, :, None] * ks)], axis=2
+        )  # (N, in, 2G)
+        return jnp.einsum("nig,gio->no", b.transpose(0, 1, 2), w3d)
+
+    y = FB._fused_fwd_kb(x, w3d[perm], (hk,), specs, fam, gb, bn)
+    assert np.abs(np.asarray(y - ref(x, w3d))).max() < 1e-5
+
+    g = jax.random.normal(jax.random.PRNGKey(24), (N, OUT)) * 0.5
+    dx, dwi = FB._fused_bwd_kb(x, w3d[perm], g, (hk,), specs, fam, gb, bn)
+    dw = dwi[jnp.argsort(perm)]
+    rx, rw = jax.grad(
+        lambda x, w: (ref(x, w) * g).sum(), argnums=(0, 1)
+    )(x, w3d)
+    assert np.abs(np.asarray(dx - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dw - rw)).max() < 1e-4
+
+
+def test_kb_strategy_engages_at_mapper_shapes():
+    """Dispatch: the ViT-S sine/fourier grid-28 mappers route to the kb
+    tier (weight exceeds the resident tiers); the in-MSA grid-4 projections
+    do not."""
+    from kanvit.kernels import fused_basis as FB
+
+    xm = jnp.zeros((50176, 768), jnp.bfloat16)
+    wm = jnp.zeros((28, 768, 384), jnp.bfloat16)
+    assert FB._kb_strategy(xm, wm) is not None
+    wf = jnp.zeros((56, 768, 384), jnp.bfloat16)
+    assert FB._kb_strategy(xm, wf, pair=True) is not None
+    gb, _ = FB._kb_strategy(xm, wf, pair=True)
+    assert gb % 2 == 0
+    xs = jnp.zeros((50176, 128), jnp.bfloat16)
+    ws = jnp.zeros((4, 128, 256), jnp.bfloat16)
+    assert FB._kb_strategy(xs, ws) is None
+    assert FB._kb_eligible(768, 28, 384, jnp.bfloat16, jnp.bfloat16)
 
 
 def test_fused_cheby(x):
