@@ -302,46 +302,60 @@ def _use_small(tq, tk, d, h, q_block, k_block, itemsize):
     )
 
 
-def _small_scores(q, k, mask_row, scale, tk, causal, tp):
-    """Masked probabilities for one (Tp, Tp) tile: returns
-    (p unnormalized f32, l clamped row sums, key_valid, kpos)."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
-    key_valid = (kpos < tk) & (mask_row > 0.5)
-    s = jnp.where(key_valid, s, NEG_INF)
+def _small_bias(mask_row, tk, causal, tp):
+    """Head-invariant ADDITIVE score masks, built once per program (the
+    per-element compare+where chain the first version ran per head was the
+    kernel's VPU hot spot): a (1, tp) key bias (0 attend / -inf for padded
+    or user-masked keys — ``exp`` then zeroes those probabilities exactly)
+    and, for causal, a (tp, tp) additive triangle."""
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, tp), 1)
+    kbias = jnp.where((kpos < tk) & (mask_row > 0.5), 0.0, NEG_INF)
+    cbias = None
     if causal:
-        qpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
-        s = jnp.where(qpos >= kpos, s, NEG_INF)  # tq == tk: len diff is 0
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.where(key_valid, jnp.exp(s - m), 0.0)
+        qpos2 = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        kpos2 = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
+        cbias = jnp.where(qpos2 >= kpos2, 0.0, NEG_INF)
+    return kbias, cbias
+
+
+def _small_probs(qs, k, kbias, cbias):
+    """Unnormalized probabilities + clamped row sums for one (Tp, Tp) tile.
+    ``qs`` carries the softmax scale (folded into q: a (Tp, d) mul instead
+    of a (Tp, Tp) one). The row max is clamped to keep fully-masked rows
+    (all scores -inf) NaN-free: they get p = 0, l = EPSILON, output 0."""
+    s = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + kbias
+    if cbias is not None:
+        s = s + cbias
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), -1e30)
+    p = jnp.exp(s - m)
     l = jnp.clip(jnp.sum(p, axis=-1, keepdims=True), EPSILON, None)
-    return p, l, key_valid, kpos
+    return p, l
 
 
 def _small_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                       *, scale, tk, causal, h, tp):
-    mask_row = mask_ref[0]
+    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
     for hi in range(h):
-        p, l, _, _ = _small_scores(
-            q_ref[hi], k_ref[hi], mask_row, scale, tk, causal, tp
-        )
+        qs = q_ref[hi] * jnp.asarray(scale, q_ref.dtype)
+        p, l = _small_probs(qs, k_ref[hi], kbias, cbias)
         pv = jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[hi], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[hi] = (pv / l).astype(o_ref.dtype)
+        o_ref[hi] = (pv * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _small_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref,
                       dq_ref, dk_ref, dv_ref, *, scale, tk, causal, h, tp):
-    mask_row = mask_ref[0]
+    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
     for hi in range(h):
-        q, k, v = q_ref[hi], k_ref[hi], v_ref[hi]
+        k, v = k_ref[hi], v_ref[hi]
         do, o = do_ref[hi], o_ref[hi]
-        p, l, _, kpos = _small_scores(q, k, mask_row, scale, tk, causal, tp)
-        pn = p / l  # normalized probabilities, f32
+        qs = q_ref[hi] * jnp.asarray(scale, q_ref.dtype)
+        p, l = _small_probs(qs, k, kbias, cbias)
+        pn = p * (1.0 / l)  # normalized probabilities, f32
         dv_ref[hi] = jax.lax.dot_general(
             pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -353,17 +367,18 @@ def _small_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref,
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        ds = pn * scale * (dp - delta)
-        if causal:
-            qpos = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
-            ds = jnp.where(qpos >= kpos, ds, 0.0)
-        dsc = ds.astype(k.dtype)
-        dq_ref[hi] = jax.lax.dot_general(
-            dsc, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        # Masked/causal-invalid columns have pn = 0, so ds is already 0
+        # there — no re-zeroing pass needed.
+        dsc = (pn * (dp - delta)).astype(k.dtype)
+        dq_ref[hi] = (
+            jax.lax.dot_general(
+                dsc, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
         ).astype(dq_ref.dtype)
+        # dk = scale * ds^T @ q: the pre-scaled qs carries the factor.
         dk_ref[hi] = jax.lax.dot_general(
-            dsc, q, (((0,), (0,)), ((), ())),
+            dsc, qs, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dk_ref.dtype)
 

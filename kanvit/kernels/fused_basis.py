@@ -296,18 +296,21 @@ def bspline_family(grid_size: int, spline_order: int,
         # (bn, in) level op mul/add-only (VPU division is many times a mul,
         # and the naive form spends two big-tile divisions per blend).
         rows = [g[j, :] for j in range(n0 + 1)]
-        b = [
-            ((x >= rows[j]) & (x < rows[j + 1])).astype(x.dtype)
-            for j in range(n0)
-        ]
+        # Shared (bn, in) terms across blends/levels: t[j] = x - rows[j]
+        # (every blend reuses two of them; recomputing per blend cost 2 of
+        # its 7 VPU ops) and ge[j] = x >= rows[j] (each order-0 indicator is
+        # ge[j] & ~ge[j+1]).
+        t = [x - rows[j] for j in range(n0 + 1)]
+        ge = [x >= rows[j] for j in range(n0 + 1)]
+        b = [(ge[j] & ~ge[j + 1]).astype(x.dtype) for j in range(n0)]
         prev, inv = None, None
         for k in range(1, spline_order + 1):
             inv = [1.0 / (rows[j + k] - rows[j]) for j in range(n0 - k + 1)]
             nb = []
             for j in range(n0 - k):
-                w1 = (x - rows[j]) * inv[j]
-                w2 = (rows[j + k + 1] - x) * inv[j + 1]
-                nb.append(w1 * b[j] + w2 * b[j + 1])
+                w1 = t[j] * inv[j]
+                w2 = t[j + k + 1] * inv[j + 1]
+                nb.append(w1 * b[j] - w2 * b[j + 1])
             prev, b = b, nb
         if not with_grad:
             return b, None
@@ -674,14 +677,25 @@ def _bwd_strategy(n, nin, ng, out, xb, wb, db) -> str:
     - "ob": out-blocked joint kernel (weight slabs; basis recomputed per
       slab) when the basis residual would be too large.
     - "xla": pure-XLA fallback for shapes beyond all kernel tiers.
+
+    ``KANVIT_BWD=plain|split`` forces a strategy when feasible (A/B escape
+    hatch — e.g. measuring basis-residual reuse vs in-kernel recompute on
+    the qkv projections, tools/tpu_probe_qkv_split.py).
     """
-    if _bwd_plain_bn(n, nin, ng, out, xb, wb, db) >= 32:
-        return "plain"
-    if (
+    plain_ok = _bwd_plain_bn(n, nin, ng, out, xb, wb, db) >= 32
+    split_ok = (
         n >= 1024
         and n * ng * nin * db <= _SPLIT_HBM_CAP
         and min(_dx_row_block(n, nin, ng, out, xb, wb), _round_up(n, 8)) >= 32
-    ):
+    )
+    force = os.environ.get("KANVIT_BWD", "")
+    if force == "plain" and plain_ok:
+        return "plain"
+    if force == "split" and split_ok:
+        return "split"
+    if plain_ok:
+        return "plain"
+    if split_ok:
         return "split"
     if _pick_out_block(nin, out, ng, n_temps=4, with_dw=True, w_bytes=db):
         return "ob"
@@ -948,10 +962,31 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
 # resident while all rows accumulate into it. Lazy families only: their
 # ``setup`` holds no per-ng state, so re-running it per k step is free.
 #
-# Extras are delivered k-blocked (phase rows / freq lanes of block k), so
-# the family closures index them with the LOCAL slice id — sine's closures
+# Extras (freq/phase/hk) stay FULL-resident — they are tiny (<=100KB) and
+# Mosaic's block rule forbids k-blocking them (a (gb,) lane block is
+# neither 128-divisible nor the full dim). The kernels wrap each extra ref
+# in an ``_OffsetRef`` view that adds the traced ``k*gb`` offset, so the
+# family closures keep indexing with the LOCAL slice id — sine's closures
 # work unchanged; fourier needs the interleaved variant below (its cos/sin
-# switch tests the global id).
+# switch tests the global id, and parity survives the offset only when gb
+# is even).
+
+
+class _OffsetRef:
+    """k-blocked view over a full (ng, ...) extra ref: presents the two
+    indexing patterns the families use — ``[0, gi]`` (SMEM row vector,
+    ``axis=1``) and ``[gi, :]`` (VMEM rows, ``axis=0``; returns a (1, n)
+    row, which broadcasts identically to the (n,) the blocked ref gave)."""
+
+    def __init__(self, ref, off, axis):
+        self.ref, self.off, self.axis = ref, off, axis
+
+    def __getitem__(self, idx):
+        if self.axis == 1:
+            z, gi = idx
+            return self.ref[z, self.off + gi]
+        gi, _ = idx
+        return self.ref[pl.ds(self.off + gi, 1), :]
 
 
 def fourier_family_kb(grid_size: int) -> Family:
@@ -985,7 +1020,7 @@ def _fourier_interleave(grid_size: int):
     return jnp.array(idx)
 
 
-def _fwd_kernel_kb(*refs, family, nin, gb):
+def _fwd_kernel_kb(*refs, family, nin, gb, extra_axes):
     x_ref, w_ref, *extra_refs, y_ref, basis_scr, acc = refs
     k = pl.program_id(1)
 
@@ -994,7 +1029,9 @@ def _fwd_kernel_kb(*refs, family, nin, gb):
         acc[:] = jnp.zeros_like(acc)
 
     x = x_ref[:].astype(jnp.float32)
-    ctx = family.setup(x, *extra_refs)
+    ctx = family.setup(x, *(
+        _OffsetRef(r, k * gb, a) for r, a in zip(extra_refs, extra_axes)
+    ))
     for li in range(gb):
         basis_scr[:, li * nin : (li + 1) * nin] = family.basis(ctx, li).astype(
             basis_scr.dtype
@@ -1009,7 +1046,7 @@ def _fwd_kernel_kb(*refs, family, nin, gb):
         y_ref[:] = acc[:].astype(y_ref.dtype)
 
 
-def _dx_kernel_kb(*refs, family, nin, gb):
+def _dx_kernel_kb(*refs, family, nin, gb, extra_axes):
     x_ref, w_ref, g_ref, *extra_refs, dx_ref, acc = refs
     k = pl.program_id(1)
 
@@ -1018,7 +1055,9 @@ def _dx_kernel_kb(*refs, family, nin, gb):
         acc[:] = jnp.zeros_like(acc)
 
     x = x_ref[:].astype(jnp.float32)
-    ctx = family.setup(x, *extra_refs)
+    ctx = family.setup(x, *(
+        _OffsetRef(r, k * gb, a) for r, a in zip(extra_refs, extra_axes)
+    ))
     gout = g_ref[:]
     gw = jax.lax.dot_general(
         gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
@@ -1033,7 +1072,7 @@ def _dx_kernel_kb(*refs, family, nin, gb):
         dx_ref[:] = acc[:].astype(dx_ref.dtype)
 
 
-def _dw_kernel_kb(*refs, family, nin, gb):
+def _dw_kernel_kb(*refs, family, nin, gb, extra_axes):
     # Grid (k, rows), rows innermost: the (gb*nin, out) f32 dw output block
     # stays VMEM-resident across all rows of its k.
     x_ref, g_ref, *extra_refs, dw_ref, basis_scr = refs
@@ -1044,7 +1083,10 @@ def _dw_kernel_kb(*refs, family, nin, gb):
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     x = x_ref[:].astype(jnp.float32)
-    ctx = family.setup(x, *extra_refs)
+    ctx = family.setup(x, *(
+        _OffsetRef(r, pl.program_id(0) * gb, a)
+        for r, a in zip(extra_refs, extra_axes)
+    ))
     for li in range(gb):
         basis_scr[:, li * nin : (li + 1) * nin] = family.basis(ctx, li).astype(
             basis_scr.dtype
@@ -1070,6 +1112,7 @@ def _dw_kernel_kb_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
         for li in range(gb):
             dfacc[0, li] = 0.0
 
+    off = pl.program_id(0) * gb
     x = x_ref[:].astype(jnp.float32)
     gout = g_ref[:]
     gw = jax.lax.dot_general(
@@ -1077,7 +1120,7 @@ def _dw_kernel_kb_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
         preferred_element_type=jnp.float32,
     )  # (bn, gb*nin) f32
     for li in range(gb):
-        a = x * freq_ref[0, li] + phase_ref[li, :]
+        a = x * freq_ref[0, off + li] + phase_ref[pl.ds(off + li, 1), :]
         s = jnp.sin(a)
         basis_scr[:, li * nin : (li + 1) * nin] = s.astype(basis_scr.dtype)
         dfacc[0, li] += jnp.sum(
@@ -1091,29 +1134,47 @@ def _dw_kernel_kb_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
     @pl.when(i == n_i - 1)
     def _finish():
         for li in range(gb):
-            dfreq_ref[0, li] = dfacc[0, li]
+            dfreq_ref[0, 0, li] = dfacc[0, li]
+
+
+def _kb_bn(fixed: int, per_row: int) -> int:
+    bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+    return int(min(512, (bn // 8) * 8))
 
 
 def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
              pair: bool = False):
-    """(gb, bn) for the K-blocked tier, or None. ``pair``: gb must stay
-    even (fourier's interleaved cos/sin parity)."""
+    """(gb, bn_fwd, bn_dx, bn_dw) for the K-blocked tier, or None.
+
+    Row blocks are picked PER KERNEL: the full weight streams once per row
+    block in the k-inner kernels (fwd/dx), so their bn directly divides the
+    dominant HBM term — a joint picker pinned to the dw kernel's larger
+    fixed set (the f32 dw block) would re-stream the weight 3-4x more often.
+    ``pair``: gb must stay even (fourier's interleaved cos/sin parity)."""
+    rn = _round_up(nin, 128)
+    ro = _round_up(out, 128)
     for gb in (8, 4, 2):
         if ng % gb or gb >= ng or (pair and gb % 2):
             continue
         fk = gb * nin
-        # Worst fixed set across the three kernels: fwd/dx double-buffer the
-        # (fk, out) weight slab; dw holds the f32 dw block plus its copy-out.
-        fixed = max(2 * fk * out * wb, 2 * fk * out * 4)
-        per_row = (
-            4 * _round_up(nin, 128) * 4          # x f32 / grad temp / acc
-            + 2 * fk * max(db, 4)                # basis scratch or f32 gw
-            + 2 * (2 * _round_up(nin, 128) * xb + _round_up(out, 128) * xb)
+        slab = 2 * fk * out * wb  # double-buffered weight slab
+        per_fwd = (
+            4 * rn * 4 + 2 * fk * db + ro * 4       # temps, basis, y acc
+            + 2 * (rn * xb + ro * xb)
         )
-        bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
-        bn = int(min(512, (bn // 8) * 8))
-        if bn >= 32:
-            return gb, bn
+        per_dx = (
+            5 * rn * 4 + fk * 4                     # temps, f32 gw, dx acc
+            + 2 * (2 * rn * xb + ro * xb)
+        )
+        per_dw = (
+            4 * rn * 4 + 2 * fk * db + fk * 4       # temps, basis, sine gw
+            + 2 * (rn * xb + ro * xb)
+        )
+        bn_fwd = _kb_bn(slab, per_fwd)
+        bn_dx = _kb_bn(slab, per_dx)
+        bn_dw = _kb_bn(2 * fk * out * 4 + slab, per_dw)
+        if min(bn_fwd, bn_dx, bn_dw) >= 32:
+            return gb, bn_fwd, bn_dx, bn_dw
     return None
 
 
@@ -1142,7 +1203,7 @@ def _kb_strategy(x2d, w3d, pair: bool = False):
     return _pick_kb(nin, out, ng, x2d.dtype.itemsize, wb, db, pair=pair)
 
 
-def _fused_fwd_kb(x2d, w3d, extras, kb_extra_specs, family, gb, bn):
+def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn):
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     nk = ng // gb
@@ -1150,14 +1211,15 @@ def _fused_fwd_kb(x2d, w3d, extras, kb_extra_specs, family, gb, bn):
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     bd = _dot_dtype(x2d, w3d)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel_kb, family=family, nin=nin, gb=gb),
+        functools.partial(_fwd_kernel_kb, family=family, nin=nin, gb=gb,
+                          extra_axes=extra_axes),
         grid=(np_ // bn, nk),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gb * nin, out), lambda i, k: (k, 0),
                          memory_space=pltpu.VMEM),
-            *kb_extra_specs(lambda i, k: k),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((bn, out), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1174,21 +1236,24 @@ def _fused_fwd_kb(x2d, w3d, extras, kb_extra_specs, family, gb, bn):
     return y[:n]
 
 
-def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
-                  sine_freq_phase=None):
-    """dx via (rows, k) accumulation; dw via the transposed (k, rows) grid.
+def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
+                  bn_dx, bn_dw, sine_freq_phase=None):
+    """dx via (rows, k) accumulation; dw via the transposed (k, rows) grid
+    (each kernel gets its own row block — see ``_pick_kb``).
     ``sine_freq_phase``: (freq2d, phase) engages the sine dw kernel with
     in-kernel dfreq; returns (dx, dw[, dfreq2d])."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     nk = ng // gb
+    bd = _dot_dtype(x2d, w3d)
+    w2d = w3d.reshape(ng * nin, out)
+    bn = bn_dx
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero contribs
-    bd = _dot_dtype(x2d, w3d)
-    w2d = w3d.reshape(ng * nin, out)
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel_kb, family=family, nin=nin, gb=gb),
+        functools.partial(_dx_kernel_kb, family=family, nin=nin, gb=gb,
+                          extra_axes=extra_axes),
         grid=(np_ // bn, nk),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
@@ -1197,7 +1262,7 @@ def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, out), lambda i, k: (i, 0),
                          memory_space=pltpu.VMEM),
-            *kb_extra_specs(lambda i, k: k),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -1209,6 +1274,10 @@ def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
         interpret=dispatch.interpret_mode(),
     )(xp, w2d, gp, *extras)
 
+    bn = bn_dw
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
     if sine_freq_phase is not None:
         freq2d, phase = sine_freq_phase
         dw2d, dfreqk = pl.pallas_call(
@@ -1221,20 +1290,18 @@ def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bn, out), lambda k, i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, gb), lambda k, i: (0, k),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((gb, nin), lambda k, i: (k, 0),
-                             memory_space=pltpu.VMEM),
+                _smem_spec(freq2d),
+                _full_vmem_spec(phase),
             ],
             out_specs=[
                 pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, gb), lambda k, i: (k, 0),
+                pl.BlockSpec((1, 1, gb), lambda k, i: (k, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
-                jax.ShapeDtypeStruct((nk, gb), jnp.float32),
+                jax.ShapeDtypeStruct((nk, 1, gb), jnp.float32),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bn, gb * nin), bd),
@@ -1249,14 +1316,15 @@ def _fused_bwd_kb(x2d, w3d, g, extras, kb_extra_specs, family, gb, bn,
         return dx[:n], dw, dfreqk.reshape(1, ng).astype(freq2d.dtype)
 
     dw2d = pl.pallas_call(
-        functools.partial(_dw_kernel_kb, family=family, nin=nin, gb=gb),
+        functools.partial(_dw_kernel_kb, family=family, nin=nin, gb=gb,
+                          extra_axes=extra_axes),
         grid=(nk, np_ // bn),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, out), lambda k, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            *kb_extra_specs(lambda k, i: k),
+            *extra_specs,
         ],
         out_specs=pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
                                memory_space=pltpu.VMEM),
@@ -1746,28 +1814,15 @@ def _rbf_op_bwd(num_grids, denominator, res, g):
 _rbf_op.defvjp(_rbf_op_fwd, _rbf_op_bwd)
 
 
-def _sine_kb_specs(gb, nin):
-    """k-blocked extras for sine: freq lanes (1, gb) SMEM + phase rows
-    (gb, nin) VMEM of basis block k. ``ksel`` maps grid ids to k (the two
-    bwd kernels put k on different grid axes)."""
-    def make(ksel):
-        return [
-            pl.BlockSpec((1, gb), lambda *ix: (0, ksel(*ix)),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((gb, nin), lambda *ix: (ksel(*ix), 0),
-                         memory_space=pltpu.VMEM),
-        ]
-    return make
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _sine_op(x2d, w3d, freq2d, phase, grid_size):
     fam = sine_family(grid_size)
     kb = _kb_strategy(x2d, w3d)
     if kb:
-        gb, bn = kb
+        gb, bn_fwd, _, _ = kb
         return _fused_fwd_kb(x2d, w3d, (freq2d, phase),
-                             _sine_kb_specs(gb, x2d.shape[1]), fam, gb, bn)
+                             (_smem_spec(freq2d), _full_vmem_spec(phase)),
+                             (1, 0), fam, gb, bn_fwd)
     return _fused_fwd(
         x2d, w3d, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)), fam
     )
@@ -1782,10 +1837,11 @@ def _sine_op_bwd(grid_size, res, g):
     fam = sine_family(grid_size)
     kb = _kb_strategy(x2d, w3d)
     if kb:
-        gb, bn = kb
+        gb, _, bn_dx, bn_dw = kb
         dx, dw, dfreq = _fused_bwd_kb(
-            x2d, w3d, g, (freq2d, phase), _sine_kb_specs(gb, x2d.shape[1]),
-            fam, gb, bn, sine_freq_phase=(freq2d, phase),
+            x2d, w3d, g, (freq2d, phase),
+            (_smem_spec(freq2d), _full_vmem_spec(phase)), (1, 0),
+            fam, gb, bn_dx, bn_dw, sine_freq_phase=(freq2d, phase),
         )
         return dx, dw, dfreq, jnp.zeros_like(phase)
     dx, dw = _fused_bwd(
@@ -1803,15 +1859,6 @@ def _sine_op_bwd(grid_size, res, g):
 _sine_op.defvjp(_sine_op_fwd, _sine_op_bwd)
 
 
-def _fourier_kb_specs(gb):
-    def make(ksel):
-        return [
-            pl.BlockSpec((1, gb), lambda *ix: (0, ksel(*ix)),
-                         memory_space=pltpu.SMEM),
-        ]
-    return make
-
-
 def _fourier_hk(grid_size):
     """Harmonic multiplier per interleaved slice: [1, 1, 2, 2, ...]."""
     return jnp.repeat(
@@ -1823,11 +1870,11 @@ def _fourier_hk(grid_size):
 def _fourier_op(x2d, w3d, grid_size):
     kb = _kb_strategy(x2d, w3d, pair=True)
     if kb:
-        gb, bn = kb
+        gb, bn_fwd, _, _ = kb
         w3i = w3d[_fourier_interleave(grid_size)]
-        return _fused_fwd_kb(x2d, w3i, (_fourier_hk(grid_size),),
-                             _fourier_kb_specs(gb),
-                             fourier_family_kb(grid_size), gb, bn)
+        hk = _fourier_hk(grid_size)
+        return _fused_fwd_kb(x2d, w3i, (hk,), (_smem_spec(hk),), (1,),
+                             fourier_family_kb(grid_size), gb, bn_fwd)
     return _fused_fwd(x2d, w3d, (), (), fourier_family(grid_size))
 
 
@@ -1839,11 +1886,12 @@ def _fourier_op_bwd(grid_size, res, g):
     x2d, w3d = res
     kb = _kb_strategy(x2d, w3d, pair=True)
     if kb:
-        gb, bn = kb
+        gb, _, bn_dx, bn_dw = kb
         perm = _fourier_interleave(grid_size)
-        dx, dwi = _fused_bwd_kb(x2d, w3d[perm], g, (_fourier_hk(grid_size),),
-                                _fourier_kb_specs(gb),
-                                fourier_family_kb(grid_size), gb, bn)
+        hk = _fourier_hk(grid_size)
+        dx, dwi = _fused_bwd_kb(x2d, w3d[perm], g, (hk,), (_smem_spec(hk),),
+                                (1,), fourier_family_kb(grid_size), gb,
+                                bn_dx, bn_dw)
         return dx, dwi[jnp.argsort(perm)]
     dx, dw = _fused_bwd(x2d, w3d, g, (), (), fourier_family(grid_size))
     return dx, dw

@@ -217,18 +217,19 @@ def test_kb_streaming_sine(x):
     phase = jax.random.normal(k1, (ng, IN)) * 0.3
     w3d = jax.random.normal(k2, (ng, IN, OUT)) * 0.1
     fam = FB.sine_family(ng)
-    specs = FB._sine_kb_specs(gb, IN)
+    specs = (FB._smem_spec(freq2d), FB._full_vmem_spec(phase))
+    axes = (1, 0)
 
     def ref(x, w3d, freq2d):
         b = jnp.sin(x[:, :, None] * freq2d[0] + phase.T[None])  # (N, in, ng)
         return jnp.einsum("nig,gio->no", b, w3d)
 
-    y = FB._fused_fwd_kb(x, w3d, (freq2d, phase), specs, fam, gb, bn)
+    y = FB._fused_fwd_kb(x, w3d, (freq2d, phase), specs, axes, fam, gb, bn)
     assert np.abs(np.asarray(y - ref(x, w3d, freq2d))).max() < 1e-5
 
     g = jax.random.normal(jax.random.PRNGKey(22), (N, OUT)) * 0.5
     dx, dw, dfreq = FB._fused_bwd_kb(
-        x, w3d, g, (freq2d, phase), specs, fam, gb, bn,
+        x, w3d, g, (freq2d, phase), specs, axes, fam, gb, bn, bn,
         sine_freq_phase=(freq2d, phase),
     )
     rx, rw, rf = jax.grad(
@@ -251,7 +252,8 @@ def test_kb_streaming_fourier(x):
     fam = FB.fourier_family_kb(G)
     perm = FB._fourier_interleave(G)
     hk = FB._fourier_hk(G)
-    specs = FB._fourier_kb_specs(gb)
+    specs = (FB._smem_spec(hk),)
+    axes = (1,)
 
     def ref(x, w3d):  # [cos 1..G | sin 1..G] slice order
         ks = jnp.arange(1, G + 1.0)
@@ -260,11 +262,12 @@ def test_kb_streaming_fourier(x):
         )  # (N, in, 2G)
         return jnp.einsum("nig,gio->no", b.transpose(0, 1, 2), w3d)
 
-    y = FB._fused_fwd_kb(x, w3d[perm], (hk,), specs, fam, gb, bn)
+    y = FB._fused_fwd_kb(x, w3d[perm], (hk,), specs, axes, fam, gb, bn)
     assert np.abs(np.asarray(y - ref(x, w3d))).max() < 1e-5
 
     g = jax.random.normal(jax.random.PRNGKey(24), (N, OUT)) * 0.5
-    dx, dwi = FB._fused_bwd_kb(x, w3d[perm], g, (hk,), specs, fam, gb, bn)
+    dx, dwi = FB._fused_bwd_kb(x, w3d[perm], g, (hk,), specs, axes, fam, gb,
+                               bn, bn)
     dw = dwi[jnp.argsort(perm)]
     rx, rw = jax.grad(
         lambda x, w: (ref(x, w) * g).sum(), argnums=(0, 1)
@@ -283,9 +286,10 @@ def test_kb_strategy_engages_at_mapper_shapes():
     wm = jnp.zeros((28, 768, 384), jnp.bfloat16)
     assert FB._kb_strategy(xm, wm) is not None
     wf = jnp.zeros((56, 768, 384), jnp.bfloat16)
-    assert FB._kb_strategy(xm, wf, pair=True) is not None
-    gb, _ = FB._kb_strategy(xm, wf, pair=True)
-    assert gb % 2 == 0
+    kbf = FB._kb_strategy(xm, wf, pair=True)
+    assert kbf is not None
+    assert kbf[0] % 2 == 0              # fourier parity needs even gb
+    assert min(kbf[1:]) >= 32           # per-kernel row blocks
     xs = jnp.zeros((50176, 128), jnp.bfloat16)
     ws = jnp.zeros((4, 128, 256), jnp.bfloat16)
     assert FB._kb_strategy(xs, ws) is None

@@ -60,13 +60,15 @@ def main():
     kb = FB._kb_strategy(x, w)
     print(f"sine kb strategy at (2048,{NIN})x({ng},{NIN},{OUT}): {kb}", flush=True)
     gb, bn = kb if kb else (4, 128)
-    specs = FB._sine_kb_specs(gb, NIN)
+    specs = (FB._smem_spec(freq2d), FB._full_vmem_spec(phase))
+    axes = (1, 0)
     fam = FB.sine_family(ng)
-    y = jax.jit(lambda x, w: FB._fused_fwd_kb(x, w, (freq2d, phase), specs, fam, gb, bn))(x, w)
+    y = jax.jit(lambda x, w: FB._fused_fwd_kb(
+        x, w, (freq2d, phase), specs, axes, fam, gb, bn))(x, w)
     yr = sine_ref(x, w, freq2d, phase)
     print(f"fwd maxerr: {np.abs(np.asarray(y - yr)).max():.2e}", flush=True)
     dx, dw, dfreq = jax.jit(lambda x, w, g: FB._fused_bwd_kb(
-        x, w, g, (freq2d, phase), specs, fam, gb, bn,
+        x, w, g, (freq2d, phase), specs, axes, fam, gb, bn,
         sine_freq_phase=(freq2d, phase)))(x, w, g)
     rx, rw, rf = jax.grad(lambda x, w, f: (sine_ref(x, w, f, phase) * g).sum(),
                           argnums=(0, 1, 2))(x, w, freq2d)
