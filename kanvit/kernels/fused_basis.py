@@ -693,6 +693,13 @@ def _bwd_strategy(n, nin, ng, out, xb, wb, db) -> str:
         return "plain"
     if force == "split" and split_ok:
         return "split"
+    # Round-3 A/B (tools/tpu_probe_qkv_split.py): at the ViT-S shared-basis
+    # qkv shape, split measures FASTER in isolation (3.79 vs 4.85 ms
+    # fwd+bwd) but SLOWER end-to-end (1,345 vs 1,359 img/s) — 12 blocks of
+    # live (N, F) residuals (~4.6 GB) degrade the rest of the step's HBM
+    # behavior. Plain therefore stays the default wherever it fits; split
+    # serves the wide layers plain cannot hold (and the KANVIT_BWD hatch
+    # preserves the A/B).
     if plain_ok:
         return "plain"
     if split_ok:
@@ -1819,9 +1826,14 @@ def _sine_op(x2d, w3d, freq2d, phase, grid_size):
     fam = sine_family(grid_size)
     kb = _kb_strategy(x2d, w3d)
     if kb:
+        # The kb kernels slice phase rows at a traced k*gb offset; Mosaic
+        # only lowers that unaligned dynamic sublane load for f32 refs
+        # ((8,128) tiling — bf16's packed (16,128) tiles reject it), so the
+        # tiny (ng, in) phase rides f32 regardless of the policy dtype.
+        phasef = phase.astype(jnp.float32)
         gb, bn_fwd, _, _ = kb
-        return _fused_fwd_kb(x2d, w3d, (freq2d, phase),
-                             (_smem_spec(freq2d), _full_vmem_spec(phase)),
+        return _fused_fwd_kb(x2d, w3d, (freq2d, phasef),
+                             (_smem_spec(freq2d), _full_vmem_spec(phasef)),
                              (1, 0), fam, gb, bn_fwd)
     return _fused_fwd(
         x2d, w3d, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)), fam
@@ -1837,11 +1849,12 @@ def _sine_op_bwd(grid_size, res, g):
     fam = sine_family(grid_size)
     kb = _kb_strategy(x2d, w3d)
     if kb:
+        phasef = phase.astype(jnp.float32)  # see _sine_op: Mosaic alignment
         gb, _, bn_dx, bn_dw = kb
         dx, dw, dfreq = _fused_bwd_kb(
-            x2d, w3d, g, (freq2d, phase),
-            (_smem_spec(freq2d), _full_vmem_spec(phase)), (1, 0),
-            fam, gb, bn_dx, bn_dw, sine_freq_phase=(freq2d, phase),
+            x2d, w3d, g, (freq2d, phasef),
+            (_smem_spec(freq2d), _full_vmem_spec(phasef)), (1, 0),
+            fam, gb, bn_dx, bn_dw, sine_freq_phase=(freq2d, phasef),
         )
         return dx, dw, dfreq, jnp.zeros_like(phase)
     dx, dw = _fused_bwd(

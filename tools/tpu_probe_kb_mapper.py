@@ -59,7 +59,7 @@ def main():
     g = jax.random.normal(ks[3], (n, OUT)) * 0.5
     kb = FB._kb_strategy(x, w)
     print(f"sine kb strategy at (2048,{NIN})x({ng},{NIN},{OUT}): {kb}", flush=True)
-    gb, bn = kb if kb else (4, 128)
+    gb, bn, bn_dx, bn_dw = kb if kb else (4, 128, 128, 128)
     specs = (FB._smem_spec(freq2d), FB._full_vmem_spec(phase))
     axes = (1, 0)
     fam = FB.sine_family(ng)
@@ -68,7 +68,7 @@ def main():
     yr = sine_ref(x, w, freq2d, phase)
     print(f"fwd maxerr: {np.abs(np.asarray(y - yr)).max():.2e}", flush=True)
     dx, dw, dfreq = jax.jit(lambda x, w, g: FB._fused_bwd_kb(
-        x, w, g, (freq2d, phase), specs, axes, fam, gb, bn,
+        x, w, g, (freq2d, phase), specs, axes, fam, gb, bn_dx, bn_dw,
         sine_freq_phase=(freq2d, phase)))(x, w, g)
     rx, rw, rf = jax.grad(lambda x, w, f: (sine_ref(x, w, f, phase) * g).sum(),
                           argnums=(0, 1, 2))(x, w, freq2d)
