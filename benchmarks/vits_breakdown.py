@@ -1,13 +1,13 @@
-"""Where does the ViT-S efficientkan step spend its time?
+"""Where does a ViT-S variant's step spend its time?
 
 Times fwd+bwd of each component at the ViT-S preset's shapes (batch 256,
-196+1 tokens, d=384, 6 heads, bf16) in isolation: the B-spline patch
-embedder (768 -> 384 on ~50k rows), one TransformerBlock (MSA with
-per-head KANLinear q/k/v + shared-basis path, FF pair), and the full model
-step, under both the Pallas dispatch and the forced-jnp path where it fits.
-Guides kernel optimization (dW out-tiling, row-block choices).
+196+1 tokens, d=384, 6 heads, bf16) in isolation: the variant's patch
+embedder (768 -> 384 on ~50k rows, mapper-scale grid constants per
+reference model.py:67-80), one TransformerBlock (MSA with per-head KAN
+q/k/v, FF pair), and the full model step, under both the Pallas dispatch
+and the forced-jnp path where it fits. Guides kernel optimization.
 
-Usage: python benchmarks/vits_breakdown.py [--batch 256]
+Usage: python benchmarks/vits_breakdown.py [--batch 256] [--variant sine]
 """
 
 import argparse
@@ -44,13 +44,14 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--impls", nargs="+", default=["auto"])
+    p.add_argument("--variant", default="efficientkan")
     p.add_argument("--skip-full", action="store_true")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from kanvit.layers.kan import KANLinear
+    from kanvit.layers.kan import make_kan_layer
     from kanvit.layers.transformer import TransformerBlock
     from kanvit.ops import dispatch
 
@@ -63,8 +64,9 @@ def main():
         dispatch.set_impl(impl)
         rec = {}
 
-        # --- patch embedder: KANLinear 768 -> 384 on N_emb rows
-        emb = KANLinear(768, 384)
+        # --- patch embedder: 768 -> 384 on N_emb rows, mapper grid consts
+        emb = make_kan_layer(args.variant, 768, 384, sine_grid_size=28,
+                             fourier_grid_size=28, cheby_degree=4)
         x_emb = jax.random.normal(jax.random.PRNGKey(0), (N_emb, 768), dt)
         p_emb = emb.init(jax.random.PRNGKey(1), x_emb)["params"]
         p_emb = jax.tree.map(lambda a: a.astype(dt), p_emb)
@@ -82,7 +84,7 @@ def main():
         # --- MSA alone (per-head KAN q/k/v + attention, no FF)
         from kanvit.layers.attention import MSA
 
-        msa = MSA(d=D, n_heads=H, type="efficientkan")
+        msa = MSA(d=D, n_heads=H, type=args.variant)
         x_msa = jax.random.normal(jax.random.PRNGKey(7), (B, T, D), dt)
         p_msa = jax.tree.map(
             lambda a: a.astype(dt),
@@ -124,7 +126,7 @@ def main():
 
         # --- one transformer block (MSA + FF) at (B, T, D)
         blk = TransformerBlock(d_model=D, n_heads=H, feedforward_dim=4 * D,
-                               attn_type="efficientkan")
+                               attn_type=args.variant)
         x_blk = jax.random.normal(jax.random.PRNGKey(2), (B, T, D), dt)
         p_blk = blk.init(jax.random.PRNGKey(3), x_blk)["params"]
         p_blk = jax.tree.map(lambda a: a.astype(dt), p_blk)
@@ -149,7 +151,7 @@ def main():
         from kanvit.train.state import create_train_state
         from kanvit.train.steps import make_train_step
 
-        model = create_model("efficientkan", chw=(3, 224, 224), n_patches=14,
+        model = create_model(args.variant, chw=(3, 224, 224), n_patches=14,
                              n_blocks=12, d_hidden=D, n_heads=H, out_d=1000)
         state = create_train_state(
             model, jax.random.PRNGKey(4), jnp.zeros((1, 3, 224, 224))
@@ -164,10 +166,12 @@ def main():
         results[impl] = rec
         print(json.dumps({impl: rec}), flush=True)
 
+    suffix = "" if args.variant == "efficientkan" else f"_{args.variant}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "vits_breakdown.json")
+                        f"vits_breakdown{suffix}.json")
     with open(path, "w") as f:
-        json.dump({"batch": B, "bf16": args.bf16, "results": results}, f,
+        json.dump({"batch": B, "bf16": args.bf16, "variant": args.variant,
+                   "results": results}, f,
                   indent=2)
     print(f"wrote {path}")
 

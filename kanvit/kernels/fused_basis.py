@@ -951,6 +951,115 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     return dx[:n], dw2d.reshape(ng, nin, out)
 
 
+# --- sine plain tier with in-kernel dfreq ----------------------------------
+#
+# SineKAN's freq is trainable (reference sinekan.py:65-70), and the XLA
+# dfreq expression at MSA shapes materializes TWO (H, N, in, ng) f32 temps
+# (the basis-grad and the g@W^T gather) — ~2.5 GB of HBM traffic per
+# projection at the ViT-S sine MSA, x3 projections x12 blocks. The kb tier
+# already folds dfreq into its dw pass for the wide mappers; this kernel
+# does the same for the weight-resident plain tier the MSA heads use:
+# ``dfreq_g += sum(gw_g * x * cos(arg))`` rides the joint dx/dw pass where
+# gw and cos(arg) are already in VMEM, so dfreq costs one extra
+# multiply-reduce and no HBM.
+
+def _bwd_kernel_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
+                     dx_ref, dw_ref, dfreq_ref, basis_scr, dw_acc, dfacc,
+                     *, nin, ng):
+    i = pl.program_id(0)
+    n_i = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        for gi in range(ng):
+            dfacc[0, gi] = 0.0
+
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, F) f32
+    dx = jnp.zeros(x.shape, jnp.float32)
+    for gi in range(ng):
+        fg = freq_ref[0, gi]
+        a = x * fg + phase_ref[gi, :]
+        c = jnp.cos(a)
+        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.sin(a).astype(
+            basis_scr.dtype
+        )
+        gwg = gw[:, gi * nin : (gi + 1) * nin]
+        dx += gwg * (fg * c)
+        dfacc[0, gi] += jnp.sum(gwg * x * c)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dw_acc[:] += jax.lax.dot_general(
+        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        for gi in range(ng):
+            dfreq_ref[0, gi] = dfacc[0, gi]
+
+
+def _fused_bwd_sine_plain(x2d, w3d, g, freq2d, phase):
+    """Plain-tier sine backward returning (dx, dw, dfreq2d), or None when
+    the weight-resident tier does not fit (caller falls back to the generic
+    path with the XLA dfreq expression)."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    f = ng * nin
+    db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+    stream = 2 * (
+        _round_up(nin, 128) * 2 * x2d.dtype.itemsize
+        + _round_up(out, 128) * x2d.dtype.itemsize
+    )
+    pick = _pick_row_block(nin, out, ng, n_temps=3,
+                           w_bytes=w3d.dtype.itemsize, with_dw=True,
+                           scr_bytes=db, stream_bytes=stream)
+    if pick < 32:  # weight-resident tier does not fit (fit test pre-N-cap)
+        return None
+    bn = min(pick, _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    w2d = w3d.reshape(f, out)
+    dx, dw2d, dfreq = pl.pallas_call(
+        functools.partial(_bwd_kernel_sine, nin=nin, ng=ng),
+        grid=(np_ // bn,),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            _smem_spec(freq2d),
+            _full_vmem_spec(phase),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ng), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+            jax.ShapeDtypeStruct((f, out), w3d.dtype),
+            jax.ShapeDtypeStruct((1, ng), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d)),
+            pltpu.VMEM((f, out), jnp.float32),
+            pltpu.SMEM((1, ng), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, gp, freq2d, phase)
+    return dx[:n], dw2d.reshape(ng, nin, out), dfreq.astype(freq2d.dtype)
+
+
 # ---------------------------------------------------------------------------
 # K-blocked streaming tier (wide-grid lazy families: sine/fourier mappers)
 # ---------------------------------------------------------------------------
@@ -1857,6 +1966,10 @@ def _sine_op_bwd(grid_size, res, g):
             fam, gb, bn_dx, bn_dw, sine_freq_phase=(freq2d, phasef),
         )
         return dx, dw, dfreq, jnp.zeros_like(phase)
+    joint = _fused_bwd_sine_plain(x2d, w3d, g, freq2d, phase)
+    if joint is not None:
+        dx, dw, dfreq = joint
+        return dx, dw, dfreq, jnp.zeros_like(phase)
     dx, dw = _fused_bwd(
         x2d, w3d, g, (freq2d, phase), (_smem_spec(freq2d), _full_vmem_spec(phase)),
         fam,
@@ -2104,15 +2217,75 @@ def sinekan(x, freq, phase, amplitudes, bias):
     return y.reshape(*lead, out)
 
 
+def sinekan_qkv(x, freqs, phase, amps, biases):
+    """Fused q/k/v SineKAN projections over one shared input.
+
+    The sine basis depends on per-projection trainable freq (so q/k/v
+    cannot share ONE expansion the way B-spline/Chebyshev do in
+    ``_shared_basis_qkv``), but the damped phase table is a deterministic
+    function of (in, grid) (reference sinekan.py:59-75) and therefore
+    identical across the three projections. Stacking them as one layer
+    with 3*ng basis slices — freq vectors concatenated, phase tiled, and a
+    block-diagonal (3ng, in, 3out) weight where slice group p feeds only
+    output block p — computes all three in ONE kernel launch (one x
+    stream, one joint backward, one dfreq accumulation) instead of three.
+    Gradients to the structurally-zero weight blocks are discarded by the
+    (differentiable) block construction. Measured at the ViT-S sine MSA:
+    three separate launches cost ~22 ms/block; see
+    benchmarks/vits_breakdown_sine.json.
+
+    ``freqs``/``amps``/``biases``: 3-tuples of per-projection params
+    ((ng,), (out, in, ng), (out,) or None). Returns (yq, yk, yv).
+    """
+    lead = x.shape[:-1]
+    nin = x.shape[-1]
+    out = amps[0].shape[0]
+    ng = freqs[0].shape[-1]
+    xf = x.reshape(-1, nin)
+    # Gate on the per-projection width: the stack is 3 independent layers
+    # sharing a launch, not one wide-grid layer (the f <= 8*nin rule in
+    # _should_fuse targets single layers whose weight exceeds VMEM tiers).
+    if not _should_fuse(xf.shape[0], nin * ng, nin=nin):
+        return tuple(
+            K.sinekan_forward(x, f, phase, a, b)
+            for f, a, b in zip(freqs, amps, biases)
+        )
+    freq2d = jnp.concatenate([f.reshape(1, -1) for f in freqs], axis=1)
+    phase3 = jnp.tile(phase.T, (3, 1))  # (3ng, nin)
+    w = jnp.zeros((3 * ng, nin, 3 * out), amps[0].dtype)
+    for pi, a in enumerate(amps):
+        w = jax.lax.dynamic_update_slice(
+            w, a.transpose(2, 1, 0), (pi * ng, 0, pi * out)
+        )
+    p = _row_pack_factor(nin)
+    if p > 1:
+        xp, np_ = _packed_rows(xf, p)
+        y = _sine_op(xp, _pack_w3d(w, p), freq2d,
+                     jnp.tile(phase3, (1, p)), 3 * ng)
+        y = y.reshape(np_, 3 * out)[: xf.shape[0]]
+    else:
+        y = _sine_op(xf, w, freq2d, phase3, 3 * ng)
+    ys = []
+    for pi, b in enumerate(biases):
+        yp = y[:, pi * out : (pi + 1) * out]
+        if b is not None:
+            yp = yp + b
+        ys.append(yp.reshape(*lead, out))
+    return tuple(ys)
+
+
 def fourierkan(x, coeffs, bias):
     lead = x.shape[:-1]
     nin = x.shape[-1]
     _, out, _, grid_size = coeffs.shape
     xf = x.reshape(-1, nin)
-    kb_ok = _kb_eligible(nin, 2 * grid_size, out, x.dtype, coeffs.dtype,
-                         pair=True)
-    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin,
-                        kb_ok=kb_ok):
+    # The kb tier is NOT an enabler for fourier: unlike sine there is no
+    # trainable freq whose XLA backward materializes an (N, in, ng) temp, so
+    # kb's 3x transcendental recompute has nothing to pay for it. Measured
+    # at the ViT-S grid-28 mapper (tools/tpu_probe_kb_mapper.py): kb 184.3
+    # vs XLA 145.9 ms op-level fwd+bwd; end-to-end 1,081 vs 1,387 img/s.
+    # The kb branch in _fourier_op stays as the KANVIT_IMPL=pallas A/B hatch.
+    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin):
         return K.fourierkan_forward(x, coeffs, bias)
     # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
     w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)

@@ -18,6 +18,7 @@ KAN-ifies only the patch embedding), ``sine`` uses grid_size=4 in attention,
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -99,6 +100,31 @@ def _shared_basis_qkv(kind, xh, d_head, pq, pk, pv):
     return y[..., :d_head], y[..., d_head : 2 * d_head], y[..., 2 * d_head :]
 
 
+def _fused_qkv_sine(xh, d_head, grid_size, pq, pk, pv):
+    """Per-head fused q/k/v sine projection (one kernel launch for the
+    three projections — see ``fused_basis.sinekan_qkv``). The phase table
+    is deterministic in (d_head, grid) and shared; freq/amplitudes/bias are
+    the per-head stacked params of the three vmapped modules."""
+    import jax
+
+    from kanvit.kernels import fused_basis as FB
+    from kanvit.ops import kan_bases as K
+
+    phase = K.sinekan_phase_init(d_head, grid_size)
+
+    def per_head(xh_h, fq, aq, bq, fk, ak, bk, fv, av, bv):
+        return FB.sinekan_qkv(
+            xh_h, (fq, fk, fv), phase, (aq, ak, av), (bq, bk, bv)
+        )
+
+    return jax.vmap(per_head)(
+        xh,
+        pq["freq"], pq["amplitudes"], pq["bias"],
+        pk["freq"], pk["amplitudes"], pk["bias"],
+        pv["freq"], pv["amplitudes"], pv["bias"],
+    )
+
+
 class MSA(nn.Module):
     """Multi-head self-attention with per-head variant projections."""
 
@@ -148,6 +174,22 @@ class MSA(nn.Module):
         if not self.is_initializing() and self.type in ("efficientkan", "cheby"):
             q, k, v = _shared_basis_qkv(
                 self.type, xh, d_head,
+                qm.variables["params"], km.variables["params"],
+                vm.variables["params"],
+            )
+
+        # Sine cannot share the basis (per-projection trainable freq) but
+        # its q/k/v CAN stack into one launch via a block-diagonal weight
+        # and a concatenated freq vector (fused_basis.sinekan_qkv). Measured
+        # at ViT-S this LOSES end-to-end — the block-diagonal weight triples
+        # the dot FLOPs, which outweighs the saved launches (632 vs 712
+        # img/s; /tmp seq10 vs seq9, benchmarks/vits_breakdown_sine.json
+        # MSA 25.6 vs 22.4 ms/block) — so it stays an A/B hatch, off by
+        # default.
+        if (not self.is_initializing() and self.type == "sine"
+                and os.environ.get("KANVIT_SINE_QKV") == "1"):
+            q, k, v = _fused_qkv_sine(
+                xh, d_head, 4,
                 qm.variables["params"], km.variables["params"],
                 vm.variables["params"],
             )

@@ -240,6 +240,82 @@ def test_kb_streaming_sine(x):
     assert np.abs(np.asarray(dfreq - rf)).max() < 1e-3
 
 
+def test_sine_plain_joint_bwd(x):
+    """Plain-tier sine joint backward (_bwd_kernel_sine): dx/dw and the
+    in-kernel SMEM-accumulated dfreq vs jax.grad of the closed form —
+    direct, through the _sine_op custom VJP, and vmapped over a head axis
+    (the MSA layout, where each head carries its own trainable freq)."""
+    from kanvit.kernels import fused_basis as FB
+
+    ng = 4
+    key = jax.random.PRNGKey(31)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    freq2d = (jnp.arange(1, ng + 1.0) / (ng + 1)).reshape(1, -1)
+    phase = jax.random.normal(k1, (ng, IN)) * 0.3
+    w3d = jax.random.normal(k2, (ng, IN, OUT)) * 0.1
+    g = jax.random.normal(k3, (N, OUT)) * 0.5
+
+    def ref(x, w3d, freq2d):
+        b = jnp.sin(x[:, :, None] * freq2d[0] + phase.T[None])
+        return jnp.einsum("nig,gio->no", b, w3d)
+
+    out = FB._fused_bwd_sine_plain(x, w3d, g, freq2d, phase)
+    assert out is not None
+    dx, dw, dfreq = out
+    rx, rw, rf = jax.grad(
+        lambda x, w, f: (ref(x, w, f) * g).sum(), argnums=(0, 1, 2)
+    )(x, w3d, freq2d)
+    assert np.abs(np.asarray(dx - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dw - rw)).max() < 1e-4
+    assert np.abs(np.asarray(dfreq - rf)).max() < 1e-3
+
+    # vmapped over heads through the custom VJP (per-head freq/weights)
+    H = 3
+    xh = jnp.stack([x, x * 0.5, x + 0.1])
+    wh = jnp.stack([w3d, w3d * 0.9, w3d + 0.01])
+    fh = jnp.stack([freq2d, freq2d * 1.1, freq2d * 0.8])
+    gh = jax.random.normal(k4, (H, N, OUT)) * 0.5
+
+    def loss_op(args):
+        xh, wh, fh = args
+        y = jax.vmap(lambda a, b, c: FB._sine_op(a, b, c, phase, ng))(xh, wh, fh)
+        return (y * gh).sum()
+
+    def loss_ref(args):
+        xh, wh, fh = args
+        y = jax.vmap(lambda a, b, c: ref(a, b, c))(xh, wh, fh)
+        return (y * gh).sum()
+
+    go = jax.grad(loss_op)((xh, wh, fh))
+    gr = jax.grad(loss_ref)((xh, wh, fh))
+    for a, b in zip(go, gr):
+        assert np.abs(np.asarray(a - b)).max() < 1e-3
+
+
+def test_sine_qkv_hatch_parity(x, monkeypatch):
+    """KANVIT_SINE_QKV=1 (block-diagonal fused q/k/v launch, off by default
+    after the end-to-end A/B loss) must stay value- and grad-equal to the
+    default per-projection path."""
+    from kanvit.layers.attention import MSA
+
+    monkeypatch.setenv("KANVIT_SINE_QKV", "0")
+    xb = jnp.tanh(x[: 2 * 12].reshape(2, 12, IN))
+    msa = MSA(d=IN, n_heads=2, type="sine")
+    params = msa.init(jax.random.PRNGKey(5), xb)
+
+    def loss(p, xb):
+        return (msa.apply(p, xb) ** 2).sum()
+
+    y0 = msa.apply(params, xb)
+    g0 = jax.grad(loss)(params, xb)
+    monkeypatch.setenv("KANVIT_SINE_QKV", "1")
+    y1 = msa.apply(params, xb)
+    g1 = jax.grad(loss)(params, xb)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-3
+
+
 def test_kb_streaming_fourier(x):
     """K-blocked streaming tier, fourier: the interleaved slice order keeps
     local parity == global parity; dw is un-permuted back to the

@@ -4,14 +4,21 @@ The fused Pallas small-path kernel and XLA's fused attention tie at
 (B=256, H=6, T=197, d=64) bf16 (tools/tpu_probe_attn_small.py: 4.93 vs
 4.73 ms fwd+bwd), and regrouping work per program changes nothing
 (tools/tpu_probe_attn_group.py: 4.78-4.94 ms across h' in {1,2,3,6,12}).
-This probe tests the remaining hypothesis: the floor is the COMPONENT DOT
+This probe tests the remaining hypothesis: the floor is the COMPONENT
 SHAPES themselves, not fusion or scheduling. It times each constituent
 batched matmul of the attention fwd+bwd standalone (pure XLA, nothing else
-in the program), plus the standalone softmax/rescale elementwise chains.
-If the sum of the parts ~= the fused whole, no kernel restructuring that
-preserves the math can beat it — the only remaining lever would be
-changing the shapes (e.g. fewer, wider heads), which is a model change,
-not a kernel change.
+in the program), plus the softmax/rescale elementwise chains. If the sum
+of the parts ~= the fused whole, no kernel restructuring that preserves
+the math can beat it — the only remaining lever would be changing the
+shapes (e.g. fewer, wider heads), which is a model change, not a kernel
+change.
+
+All timings ride a single lax.scan device program per component (N
+sequential applications chained through a per-step additive zero from the
+scan xs so XLA cannot hoist the op out of the loop) — per-dispatch timing
+of sub-ms programs on this tunneled transport measures only transport
+latency (CLAUDE.md measurement notes; first version of this probe showed
+113 ms for a 0.1 ms matmul that way).
 
 fwd:  S = q k^T            (BH, T, T)  <- contraction K=64 (half-MXU)
       P = softmax(S)       VPU
@@ -40,61 +47,81 @@ import jax.numpy as jnp
 B, H, T, D = 256, 6, 197, 64
 BH = B * H
 DT = jnp.bfloat16
+STEPS = 30
 
 
-def timeit(fn, *args, steps=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    leaf = jax.tree.leaves(out)[0]
-    float(np.asarray(leaf).ravel()[0])
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(steps)]
-    leaf = jax.tree.leaves(outs[-1])[0]
-    float(np.asarray(leaf).ravel()[0])
-    return (time.perf_counter() - t0) / steps * 1e3
+def timeit_scanned(op, *args, steps=STEPS):
+    """Median-of-3 windows; each window is ONE device program scanning the
+    op ``steps`` times, chained via a scan-carried zero perturbation."""
+
+    @jax.jit
+    def window(args, zs):
+        def body(c, z):
+            out = op(*((a + z.astype(a.dtype)) for a in args[:1]), *args[1:])
+            first = jax.tree.leaves(out)[0]
+            return c + first.ravel()[0].astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), zs)
+        return c
+
+    zs = jnp.zeros((steps,), jnp.float32)
+    c = window(args, zs)
+    float(np.asarray(c))  # warmup + hard sync
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = window(args, zs)
+        float(np.asarray(c))
+        ts.append((time.perf_counter() - t0) / steps * 1e3)
+    return sorted(ts)[1]
 
 
-def bmm(contract_right, a_shape, b_shape):
-    """Batched matmul a @ b (or a @ b^T) as its own jitted program."""
-    ka = jax.random.normal(jax.random.PRNGKey(0), a_shape).astype(DT)
-    kb = jax.random.normal(jax.random.PRNGKey(1), b_shape).astype(DT)
-    if contract_right:  # (BH,M,K) @ (BH,N,K)^T
-        dn = (((2,), (2,)), ((0,), (0,)))
-    else:               # (BH,M,K) @ (BH,K,N)
-        dn = (((2,), (1,)), ((0,), (0,)))
-    f = jax.jit(lambda a, b: jax.lax.dot_general(
-        a, b, dn, preferred_element_type=jnp.float32).astype(DT))
-    return timeit(f, ka, kb)
+def rnd(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape).astype(DT)
 
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    flops = {}
     ms = {}
 
+    dn_t = (((2,), (2,)), ((0,), (0,)))  # a @ b^T over last dims
+    dn_n = (((2,), (1,)), ((0,), (0,)))  # a @ b
+
+    def dot_t(a, b):
+        return jax.lax.dot_general(
+            a, b, dn_t, preferred_element_type=jnp.float32).astype(DT)
+
+    def dot_n(a, b):
+        return jax.lax.dot_general(
+            a, b, dn_n, preferred_element_type=jnp.float32).astype(DT)
+
+    qk = rnd(0, (BH, T, D))
+    kk = rnd(1, (BH, T, D))
+    pp = rnd(2, (BH, T, T))
+    vv = rnd(3, (BH, T, D))
+
     # --- the five dots, exact attention shapes ---
-    ms["S=qk^T (K=64)"] = bmm(True, (BH, T, D), (BH, T, D))
-    ms["O=Pv   (K=T) "] = bmm(False, (BH, T, T), (BH, T, D))
-    ms["dV=P^T dO (K=T)"] = bmm(False, (BH, T, T), (BH, T, D))  # same shape class
-    ms["dP=dO v^T (K=64)"] = bmm(True, (BH, T, D), (BH, T, D))
-    ms["dQ=dS k (K=T)"] = bmm(False, (BH, T, T), (BH, T, D))
-    ms["dK=dS^T q (K=T)"] = bmm(False, (BH, T, T), (BH, T, D))
-    flops["K=64 dots"] = 2 * 2.0 * BH * T * T * D
-    flops["K=T dots"] = 4 * 2.0 * BH * T * T * D
+    ms["S=qk^T   (K=64)"] = timeit_scanned(dot_t, qk, kk)
+    ms["O=Pv     (K=T)"] = timeit_scanned(dot_n, pp, vv)
+    ms["dV=P^T dO (K=T)"] = ms["O=Pv     (K=T)"]  # same shape class
+    ms["dP=dO v^T (K=64)"] = ms["S=qk^T   (K=64)"]  # same shape class
+    ms["dQ=dS k  (K=T)"] = ms["O=Pv     (K=T)"]
+    ms["dK=dS^T q (K=T)"] = ms["O=Pv     (K=T)"]
 
     # --- the elementwise chains ---
-    s = jax.random.normal(jax.random.PRNGKey(2), (BH, T, T)).astype(DT)
-    fsm = jax.jit(lambda s: jax.nn.softmax(
-        s.astype(jnp.float32), axis=-1).astype(DT))
-    ms["softmax fwd"] = timeit(fsm, s)
-    p = fsm(s)
-    do = jax.random.normal(jax.random.PRNGKey(3), (BH, T, T)).astype(DT)
-    fds = jax.jit(lambda p, dp: (
-        p.astype(jnp.float32)
-        * (dp.astype(jnp.float32)
-           - jnp.sum(p.astype(jnp.float32) * dp.astype(jnp.float32),
-                     axis=-1, keepdims=True))).astype(DT))
-    ms["dS chain"] = timeit(fds, p, do)
+    def sm(s):
+        return jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(DT)
+
+    ms["softmax fwd"] = timeit_scanned(sm, pp)
+
+    dof = rnd(4, (BH, T, T))
+
+    def ds_chain(p, dp):
+        pf = p.astype(jnp.float32)
+        dpf = dp.astype(jnp.float32)
+        return (pf * (dpf - jnp.sum(pf * dpf, axis=-1, keepdims=True))
+                ).astype(DT)
+
+    ms["dS chain"] = timeit_scanned(ds_chain, pp, dof)
 
     total = 0.0
     for k, v in ms.items():
@@ -102,16 +129,12 @@ def main():
         total += v
     print(f"  {'SUM OF PARTS':22s}: {total:7.3f} ms", flush=True)
 
-    # --- the fused whole, both paths ---
+    # --- the fused whole, both paths, same scanned measurement ---
     from kanvit.kernels import flash_attention as FA
 
-    q = jax.random.normal(jax.random.PRNGKey(4), (B, H, T, D)).astype(DT)
-    k = jax.random.normal(jax.random.PRNGKey(5), (B, H, T, D)).astype(DT)
-    v = jax.random.normal(jax.random.PRNGKey(6), (B, H, T, D)).astype(DT)
-
-    def loss_pallas(args):
-        q, k, v = args
-        return (FA.flash_attention(q, k, v).astype(jnp.float32) ** 2).mean()
+    q4 = rnd(5, (B, H, T, D))
+    k4 = rnd(6, (B, H, T, D))
+    v4 = rnd(7, (B, H, T, D))
 
     def xla_attn(q, k, v):
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -119,25 +142,21 @@ def main():
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
-    def loss_xla(args):
-        q, k, v = args
-        return (xla_attn(q, k, v).astype(jnp.float32) ** 2).mean()
+    def grad_of(attn):
+        def f(q, k, v):
+            def loss(args):
+                return (attn(*args).astype(jnp.float32) ** 2).mean()
+            return jax.value_and_grad(loss)((q, k, v))
+        return f
 
-    gp = jax.jit(jax.value_and_grad(loss_pallas))
-    gx = jax.jit(jax.value_and_grad(loss_xla))
-    print(f"  {'pallas fused fwd+bwd':22s}: {timeit(gp, (q, k, v)):7.3f} ms",
-          flush=True)
-    print(f"  {'xla fused fwd+bwd':22s}: {timeit(gx, (q, k, v)):7.3f} ms",
-          flush=True)
+    ms_p = timeit_scanned(grad_of(FA.flash_attention), q4, k4, v4, steps=10)
+    ms_x = timeit_scanned(grad_of(xla_attn), q4, k4, v4, steps=10)
+    print(f"  {'pallas fused fwd+bwd':22s}: {ms_p:7.3f} ms", flush=True)
+    print(f"  {'xla fused fwd+bwd':22s}: {ms_x:7.3f} ms", flush=True)
 
-    mxu = sum(flops.values()) / 197e12 * 1e3
-    print(f"\n  ideal MXU time (197 TFLOP/s bf16): {mxu:.3f} ms", flush=True)
-    print("  -> if SUM OF PARTS ~= fused paths, the tie is a shape floor:",
-          flush=True)
-    print("     the K=64 dots half-fill the MXU and T=197 pads to the tile;",
-          flush=True)
-    print("     no fusion recovers that without changing head geometry.",
-          flush=True)
+    flops = 6 * 2.0 * BH * T * T * D
+    print(f"\n  ideal MXU time for the 6 dots (197 TFLOP/s bf16): "
+          f"{flops / 197e12 * 1e3:.3f} ms", flush=True)
 
 
 main()
