@@ -45,7 +45,14 @@ LANE = 128
 # and XLA's fused attention is faster than per-block kernel launches
 # (measured: the kernel wins ~6x at seq 2048 but pure launch overhead at
 # seq 17-50); "auto" only engages the kernel for longer sequences.
+# KANVIT_ATTN_MIN_SEQ overrides for end-to-end A/Bs (read per trace).
 MIN_PALLAS_SEQ = 1024
+
+
+def _min_pallas_seq() -> int:
+    import os
+
+    return int(os.environ.get("KANVIT_ATTN_MIN_SEQ", MIN_PALLAS_SEQ))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -639,7 +646,7 @@ def flash_attention(
     """
     tq, tk = q.shape[2], k.shape[2]
     if dispatch.use_pallas() and (
-        max(tq, tk) >= MIN_PALLAS_SEQ or dispatch.get_impl() == "pallas"
+        max(tq, tk) >= _min_pallas_seq() or dispatch.get_impl() == "pallas"
     ):
         return _flash(q, k, v, mask, causal, q_block, k_block)
     if mask is None and (not causal or tq == tk):

@@ -31,7 +31,6 @@ from kanvit.layers.kan import (
     SineKANLayer,
     TorchLinear,
 )
-from kanvit.ops.attention import multi_head_attention
 
 
 def _head_projection_cls_and_kwargs(kind: str, d_head: int,
@@ -162,41 +161,49 @@ class MSA(nn.Module):
         xh = jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
 
         qm, km, vm = (vmapped(n) for n in ("q_mappings", "k_mappings", "v_mappings"))
-        q, k, v = qm(xh), km(xh), vm(xh)
 
         # For basis families whose expansion is parameter-independent
         # (B-spline: deterministic grid; Chebyshev: T_n(tanh x)), compute the
-        # basis ONCE and contract it against the q/k/v weights jointly. The
-        # per-module results above become dead code at apply time (XLA DCE);
-        # at init they create the (unchanged) parameter tree. fast/sine are
-        # excluded: their basis depends on per-projection params (the
-        # internal LayerNorm / trainable freq).
-        if not self.is_initializing() and self.type in ("efficientkan", "cheby"):
-            q, k, v = _shared_basis_qkv(
-                self.type, xh, d_head,
-                qm.variables["params"], km.variables["params"],
-                vm.variables["params"],
-            )
-
+        # basis ONCE and contract it against the q/k/v weights jointly.
+        # The per-module calls are structurally SKIPPED on those paths —
+        # XLA does not reliably DCE dead Pallas custom calls, so leaving
+        # them in doubles the qkv work. They still run at init (to create
+        # the unchanged parameter tree) and on stateful-grid passes (the
+        # modules sow their inputs for --update-grid-every). fast is
+        # excluded from sharing: its basis depends on per-projection params
+        # (the internal LayerNorm).
+        shared = self.type in ("efficientkan", "cheby")
         # Sine cannot share the basis (per-projection trainable freq) but
         # its q/k/v CAN stack into one launch via a block-diagonal weight
-        # and a concatenated freq vector (fused_basis.sinekan_qkv). Measured
-        # at ViT-S this LOSES end-to-end — the block-diagonal weight triples
-        # the dot FLOPs, which outweighs the saved launches (632 vs 712
-        # img/s; /tmp seq10 vs seq9, benchmarks/vits_breakdown_sine.json
-        # MSA 25.6 vs 22.4 ms/block) — so it stays an A/B hatch, off by
-        # default.
-        if (not self.is_initializing() and self.type == "sine"
-                and os.environ.get("KANVIT_SINE_QKV") == "1"):
-            q, k, v = _fused_qkv_sine(
-                xh, d_head, 4,
-                qm.variables["params"], km.variables["params"],
-                vm.variables["params"],
-            )
+        # (fused_basis.sinekan_qkv). Measured at ViT-S this LOSES end-to-end
+        # — the block-diagonal weight triples the dot FLOPs (632 vs 712
+        # img/s, benchmarks/vits_breakdown_sine.json) — so it stays an A/B
+        # hatch, off by default.
+        sine_fused = (self.type == "sine"
+                      and os.environ.get("KANVIT_SINE_QKV") == "1")
+        fused_path = (shared or sine_fused) and not self.is_initializing() \
+            and not self.stateful_grid
+        if not fused_path:
+            q, k, v = qm(xh), km(xh), vm(xh)
+        else:
+            # Unbound submodules cannot expose .variables; read the stacked
+            # per-head params straight from this module's scope.
+            pq, pk, pv = (self.scope.get_variable("params", n)
+                          for n in ("q_mappings", "k_mappings", "v_mappings"))
+            if shared:
+                q, k, v = _shared_basis_qkv(self.type, xh, d_head, pq, pk, pv)
+            else:
+                q, k, v = _fused_qkv_sine(xh, d_head, 4, pq, pk, pv)
 
         # (H, B, T, dh) -> (B, H, T, dh)
         q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
-        out = multi_head_attention(q, k, v)  # (B, H, T, dh)
+        # The dispatched entry: XLA fused attention below the engage
+        # threshold (identical math to multi_head_attention incl. the
+        # d**-0.5 scale), the Pallas single-tile/flash kernels above it
+        # (KANVIT_ATTN_MIN_SEQ A/Bs the threshold end-to-end).
+        from kanvit.kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v)  # (B, H, T, dh)
         # concat heads in order == reshape back
         return jnp.moveaxis(out, 1, 2).reshape(b, t, self.d)
 
