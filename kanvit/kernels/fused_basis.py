@@ -73,7 +73,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
                     scr_bytes: int = 4, stream_bytes: int = 0,
-                    per_g: bool = True) -> int:
+                    per_g: bool = True, pack: int = 1) -> int:
     """Largest row block (multiple of 8, <=512) whose unrolled live set
     (~n_temps arrays of (bn, in) f32 per g step, plus the basis scratch row
     and the resident weight/dw blocks) fits the budget. The cap matters: at
@@ -90,17 +90,21 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
     ``scr_bytes``: bytes/elt of the (bn, F) basis scratch (2 under the bf16
     dot policy).
     ``stream_bytes``: per-row bytes of the double-buffered streamed blocks
-    (x in, y/g/dx out) — these ride VMEM alongside the live set."""
+    (x in, y/g/dx out) — these ride VMEM alongside the live set.
+    ``pack``: row-pack factor. ``nin``/``out`` are the per-slot (original)
+    dims; the resident weight/dw stay per-slot sized (pack-aware slice
+    dots) while the per-row temps/scratch span all ``pack`` slots."""
     fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0))
-    per_row = (n_temps * (ng if per_g else 1) * _round_up(nin, 128) * 4
+    per_row = (n_temps * (ng if per_g else 1)
+               * _round_up(pack * nin, 128) * 4
                # Basis scratch charged twice: the (bn, F) array itself plus
                # equal headroom for Mosaic's scheduling of the unrolled
                # slice writes (measured: it allocates beyond the obvious
                # live set at large ng).
-               + 2 * ng * nin * scr_bytes
+               + 2 * ng * nin * pack * scr_bytes
                + stream_bytes)           # double-buffered io blocks
     if with_dw:
-        per_row += ng * nin * 4  # the backward's (bn, F) f32 gw temp
+        per_row += ng * nin * pack * 4  # the backward's (bn, F) f32 gw temps
     bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
     return int(max(8, min(1024, (bn // 8) * 8)))
 
@@ -359,7 +363,7 @@ def bspline_family(grid_size: int, spline_order: int,
 # Generic kernel template
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, family, nin):
+def _fwd_kernel(*refs, family, nin, pack=1):
     # Expand each basis slice into a flat (bn, ng*in) VMEM scratch, then one
     # MXU matmul against the flat weight (F, out) — XLA's schedule for the
     # jnp path, minus the HBM round trip for the basis tensor.
@@ -371,20 +375,35 @@ def _fwd_kernel(*refs, family, nin):
     # MXU under the --bf16 training policy (and the jnp path under that
     # policy computes the basis itself in bf16, so this is strictly more
     # precise).
+    #
+    # Row packing (pack > 1): x carries ``pack`` original rows per kernel
+    # row, so the basis math fills all 128 VPU lanes (that is what packing
+    # is for — measured decisive, e.g. ViT-S sine 712 vs 488 img/s). The
+    # contraction, however, does NOT use a block-diagonal packed weight
+    # (which doubles the dot MACs multiplying structural zeros): the basis
+    # scratch is laid out slot-major ([slot r | basis gi | feature i]) and
+    # contracted per slot against the ORIGINAL (F, out) weight — packed
+    # VPU fill at unpacked dot cost. ``nin`` is the per-slot width.
     x_ref, w_ref, *extra_refs, y_ref, basis_scr = refs
+    f = family.ng * nin
+    out = w_ref.shape[1]
     x = x_ref[:].astype(jnp.float32)
     ctx = family.setup(x, *extra_refs)
     for gi in range(family.ng):
-        basis_scr[:, gi * nin : (gi + 1) * nin] = family.basis(ctx, gi).astype(
-            basis_scr.dtype
-        )
-    y_ref[:] = jax.lax.dot_general(
-        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(y_ref.dtype)
+        t = family.basis(ctx, gi).astype(basis_scr.dtype)  # (bn, pack*nin)
+        for r in range(pack):
+            basis_scr[:, r * f + gi * nin : r * f + (gi + 1) * nin] = (
+                t[:, r * nin : (r + 1) * nin]
+            )
+    w = w_ref[:].astype(basis_scr.dtype)
+    for r in range(pack):
+        y_ref[:, r * out : (r + 1) * out] = jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f], w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(y_ref.dtype)
 
 
-def _bwd_kernel(*refs, family, nin):
+def _bwd_kernel(*refs, family, nin, pack=1):
     x_ref, w_ref, g_ref, *extra_refs, dx_ref, dw_ref, basis_scr, dw_acc = refs
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
@@ -393,29 +412,47 @@ def _bwd_kernel(*refs, family, nin):
     def _init():
         dw_acc[:] = jnp.zeros_like(dw_acc)
 
+    f = family.ng * nin
+    out = w_ref.shape[1]
     x = x_ref[:].astype(jnp.float32)
-    gout = g_ref[:]  # (bn, out), kept in input dtype for the MXU dots
+    gout = g_ref[:]  # (bn, pack*out), kept in input dtype for the MXU dots
     ctx = family.setup(x, *extra_refs)
 
-    # One matmul for gW = gout @ W^T (bn, F), then per-g elementwise reduce
+    # Per slot: gW_r = gout_r @ W^T (bn, F), then per-g elementwise reduce
     # into dx using the closed-form basis derivatives; basis itself goes to
-    # the flat scratch for the dW matmul. Same dtype policy as _fwd_kernel:
-    # f32 basis math, input-dtype dot operands, f32 accumulation.
-    gw = jax.lax.dot_general(
-        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bn, F) f32
-    dx = jnp.zeros(x.shape, jnp.float32)
+    # the slot-major scratch for the dW matmuls. Same dtype policy as
+    # _fwd_kernel: f32 basis math, input-dtype dot operands, f32
+    # accumulation. With pack > 1 the slot dots contract against the
+    # ORIGINAL (F, out) weight — half the MACs of the block-diagonal form
+    # (and dw accumulates all slots into ONE per-slot-sized accumulator).
+    w = w_ref[:].astype(gout.dtype)
+    gws = [
+        jax.lax.dot_general(
+            gout[:, r * out : (r + 1) * out], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn, F) f32
+        for r in range(pack)
+    ]
+    dxs = [jnp.zeros((x.shape[0], nin), jnp.float32) for _ in range(pack)]
     for gi in range(family.ng):
         b_g, db_g = family.basis_grad(ctx, gi)
-        basis_scr[:, gi * nin : (gi + 1) * nin] = b_g.astype(basis_scr.dtype)
-        dx += gw[:, gi * nin : (gi + 1) * nin] * db_g
+        b_g = b_g.astype(basis_scr.dtype)
+        for r in range(pack):
+            basis_scr[:, r * f + gi * nin : r * f + (gi + 1) * nin] = (
+                b_g[:, r * nin : (r + 1) * nin]
+            )
+            dxs[r] += (gws[r][:, gi * nin : (gi + 1) * nin]
+                       * db_g[:, r * nin : (r + 1) * nin])
+    dx = dxs[0] if pack == 1 else jnp.concatenate(dxs, axis=1)
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
-    dw_acc[:] += jax.lax.dot_general(
-        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (F, out) f32
+    for r in range(pack):
+        dw_acc[:] += jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f],
+            gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (F, out) f32
 
     @pl.when(i == n_i - 1)
     def _finish():
@@ -824,20 +861,31 @@ def _fused_bwd_split(x2d, w3d, g, basis, extras, extra_specs, family):
 
 
 def _fused_fwd(x2d, w3d, extras, extra_specs, family):
-    """x2d: (N, in); w3d: (ng, in, out). Returns y (N, out)."""
-    n, nin = x2d.shape
-    ng, _, out = w3d.shape
+    """x2d: (N, pack*in); w3d: (ng, in, out). Returns y (N, pack*out).
+
+    ``pack`` is inferred from the width ratio: row-packed callers pass the
+    packed x with the ORIGINAL weight (pack-aware slice dots — see
+    ``_fwd_kernel``); extras arrive pre-tiled to the packed width."""
+    n, nin_p = x2d.shape
+    ng, nin, out = w3d.shape
+    pack = nin_p // nin
     f = ng * nin
     db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
     xb = x2d.dtype.itemsize
-    stream = 2 * (_round_up(nin, 128) * xb + _round_up(out, 128) * xb)
+    stream = 2 * (_round_up(nin_p, 128) * xb
+                  + _round_up(pack * out, 128) * xb)
     bn = min(
         _pick_row_block(nin, out, ng, n_temps=2, w_bytes=w3d.dtype.itemsize,
                         with_dw=False, scr_bytes=db, stream_bytes=stream,
-                        per_g=not family.lazy),
+                        per_g=not family.lazy, pack=pack),
         _round_up(n, 8),
     )
     if bn < 32:
+        if pack > 1:
+            # Fall back to the block-diagonal packed form the non-plain
+            # tiers expect (never hit at current model shapes).
+            return _fused_fwd(x2d, _pack_w3d(w3d, pack), extras,
+                              extra_specs, family)
         obn = _pick_out_block(
             nin, out, ng, n_temps=4,
             w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
@@ -851,16 +899,18 @@ def _fused_fwd(x2d, w3d, extras, extra_specs, family):
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     w2d = w3d.reshape(f, out)
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, family=family, nin=nin),
+        functools.partial(_fwd_kernel, family=family, nin=nin, pack=pack),
         grid=(np_ // bn,),
         in_specs=[
-            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             *extra_specs,
         ],
-        out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((np_, out), x2d.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d))],
+        out_specs=pl.BlockSpec(
+            (bn, pack * out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((np_, pack * out), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, pack * f), _dot_dtype(x2d, w3d))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
@@ -889,24 +939,42 @@ def _jnp_bwd(x2d, w2d, g, extras, family, nin):
     return dx.astype(x2d.dtype), dw2d.astype(w2d.dtype)
 
 
+def _unpack_dw(dw_bd, pack):
+    """Fold a block-diagonal packed dw (ng, pack*in, pack*out) back to the
+    per-slot (ng, in, out): the pack transform replicates w into the
+    diagonal blocks, so its VJP sums the diagonal blocks' gradients."""
+    ng, nin_p, out_p = dw_bd.shape
+    nin, out = nin_p // pack, out_p // pack
+    return sum(
+        dw_bd[:, r * nin : (r + 1) * nin, r * out : (r + 1) * out]
+        for r in range(pack)
+    )
+
+
 def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
-    """Returns (dx (N, in), dw (ng, in, out))."""
-    n, nin = x2d.shape
-    ng, _, out = w3d.shape
+    """Returns (dx (N, pack*in), dw (ng, in, out)). ``pack`` inferred as in
+    ``_fused_fwd``."""
+    n, nin_p = x2d.shape
+    ng, nin, out = w3d.shape
+    pack = nin_p // nin
     f = ng * nin
     db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
     xb = x2d.dtype.itemsize
     stream = 2 * (
-        _round_up(nin, 128) * (xb + xb)            # x in, dx out
-        + _round_up(out, 128) * g.dtype.itemsize   # g in
+        _round_up(nin_p, 128) * (xb + xb)                  # x in, dx out
+        + _round_up(pack * out, 128) * g.dtype.itemsize    # g in
     )
     bn = min(
         _pick_row_block(nin, out, ng, n_temps=3, w_bytes=w3d.dtype.itemsize,
                         with_dw=True, scr_bytes=db, stream_bytes=stream,
-                        per_g=not family.lazy),
+                        per_g=not family.lazy, pack=pack),
         _round_up(n, 8),
     )
     if bn < 32:
+        if pack > 1:
+            dx, dw_bd = _fused_bwd(x2d, _pack_w3d(w3d, pack), g, extras,
+                                   extra_specs, family)
+            return dx, _unpack_dw(dw_bd, pack)
         obn = _pick_out_block(
             nin, out, ng, n_temps=4, with_dw=True,
             w_bytes=jnp.dtype(_dot_dtype(x2d, w3d)).itemsize,
@@ -923,24 +991,26 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero g rows -> zero dw contrib
     w2d = w3d.reshape(f, out)
     dx, dw2d = pl.pallas_call(
-        functools.partial(_bwd_kernel, family=family, nin=nin),
+        functools.partial(_bwd_kernel, family=family, nin=nin, pack=pack),
         grid=(np_ // bn,),
         in_specs=[
-            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bn, pack * out), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             *extra_specs,
         ],
         out_specs=[
-            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+            jax.ShapeDtypeStruct((np_, nin_p), x2d.dtype),
             jax.ShapeDtypeStruct((f, out), w3d.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d)),
+            pltpu.VMEM((bn, pack * f), _dot_dtype(x2d, w3d)),
             pltpu.VMEM((f, out), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -965,7 +1035,7 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
 
 def _bwd_kernel_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
                      dx_ref, dw_ref, dfreq_ref, basis_scr, dw_acc, dfacc,
-                     *, nin, ng):
+                     *, nin, ng, pack=1):
     i = pl.program_id(0)
     n_i = pl.num_programs(0)
 
@@ -975,28 +1045,44 @@ def _bwd_kernel_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
         for gi in range(ng):
             dfacc[0, gi] = 0.0
 
+    f = ng * nin
+    out = w_ref.shape[1]
     x = x_ref[:].astype(jnp.float32)
     gout = g_ref[:]
-    gw = jax.lax.dot_general(
-        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (bn, F) f32
-    dx = jnp.zeros(x.shape, jnp.float32)
+    w = w_ref[:].astype(gout.dtype)
+    # Pack-aware slice dots (see _bwd_kernel): per-slot gW against the
+    # original (F, out) weight; freq is shared across slots, so dfreq sums
+    # the per-slot reductions.
+    gws = [
+        jax.lax.dot_general(
+            gout[:, r * out : (r + 1) * out], w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bn, F) f32
+        for r in range(pack)
+    ]
+    dxs = [jnp.zeros((x.shape[0], nin), jnp.float32) for _ in range(pack)]
     for gi in range(ng):
         fg = freq_ref[0, gi]
         a = x * fg + phase_ref[gi, :]
         c = jnp.cos(a)
-        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.sin(a).astype(
-            basis_scr.dtype
-        )
-        gwg = gw[:, gi * nin : (gi + 1) * nin]
-        dx += gwg * (fg * c)
-        dfacc[0, gi] += jnp.sum(gwg * x * c)
+        s = jnp.sin(a).astype(basis_scr.dtype)
+        df = jnp.float32(0.0)
+        for r in range(pack):
+            sl = slice(r * nin, (r + 1) * nin)
+            basis_scr[:, r * f + gi * nin : r * f + (gi + 1) * nin] = s[:, sl]
+            gwg = gws[r][:, gi * nin : (gi + 1) * nin]
+            dxs[r] += gwg * (fg * c[:, sl])
+            df += jnp.sum(gwg * x[:, sl] * c[:, sl])
+        dfacc[0, gi] += df
+    dx = dxs[0] if pack == 1 else jnp.concatenate(dxs, axis=1)
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dw_acc[:] += jax.lax.dot_general(
-        basis_scr[:], gout.astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    for r in range(pack):
+        dw_acc[:] += jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f],
+            gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(i == n_i - 1)
     def _finish():
@@ -1008,18 +1094,19 @@ def _bwd_kernel_sine(x_ref, w_ref, g_ref, freq_ref, phase_ref,
 def _fused_bwd_sine_plain(x2d, w3d, g, freq2d, phase):
     """Plain-tier sine backward returning (dx, dw, dfreq2d), or None when
     the weight-resident tier does not fit (caller falls back to the generic
-    path with the XLA dfreq expression)."""
-    n, nin = x2d.shape
-    ng, _, out = w3d.shape
+    path with the XLA dfreq expression). Pack inferred as in _fused_fwd."""
+    n, nin_p = x2d.shape
+    ng, nin, out = w3d.shape
+    pack = nin_p // nin
     f = ng * nin
     db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
     stream = 2 * (
-        _round_up(nin, 128) * 2 * x2d.dtype.itemsize
-        + _round_up(out, 128) * x2d.dtype.itemsize
+        _round_up(nin_p, 128) * 2 * x2d.dtype.itemsize
+        + _round_up(pack * out, 128) * x2d.dtype.itemsize
     )
     pick = _pick_row_block(nin, out, ng, n_temps=3,
                            w_bytes=w3d.dtype.itemsize, with_dw=True,
-                           scr_bytes=db, stream_bytes=stream)
+                           scr_bytes=db, stream_bytes=stream, pack=pack)
     if pick < 32:  # weight-resident tier does not fit (fit test pre-N-cap)
         return None
     bn = min(pick, _round_up(n, 8))
@@ -1028,27 +1115,29 @@ def _fused_bwd_sine_plain(x2d, w3d, g, freq2d, phase):
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
     w2d = w3d.reshape(f, out)
     dx, dw2d, dfreq = pl.pallas_call(
-        functools.partial(_bwd_kernel_sine, nin=nin, ng=ng),
+        functools.partial(_bwd_kernel_sine, nin=nin, ng=ng, pack=pack),
         grid=(np_ // bn,),
         in_specs=[
-            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bn, pack * out), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             _smem_spec(freq2d),
             _full_vmem_spec(phase),
         ],
         out_specs=[
-            pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, nin_p), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ng), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+            jax.ShapeDtypeStruct((np_, nin_p), x2d.dtype),
             jax.ShapeDtypeStruct((f, out), w3d.dtype),
             jax.ShapeDtypeStruct((1, ng), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bn, f), _dot_dtype(x2d, w3d)),
+            pltpu.VMEM((bn, pack * f), _dot_dtype(x2d, w3d)),
             pltpu.VMEM((f, out), jnp.float32),
             pltpu.SMEM((1, ng), jnp.float32),
         ],
@@ -1311,6 +1400,8 @@ def _kb_strategy(x2d, w3d, pair: bool = False):
     out-blocked tier's per-slab transcendental recompute or XLA's
     HBM-materialized basis."""
     n, nin = x2d.shape
+    if nin != w3d.shape[1]:
+        return None  # row-packed caller (narrow layer) — never a kb shape
     ng, _, out = w3d.shape
     wb = w3d.dtype.itemsize
     if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
@@ -1466,6 +1557,11 @@ def _bspline_op(x2d, w3d, gridt, grid_size, spline_order, with_base=False):
 
 def _op_strategy(x2d, w3d):
     n, nin = x2d.shape
+    if nin != w3d.shape[1]:
+        # Row-packed (narrow) layer: always served by the pack-aware plain
+        # tier (with a block-diagonal fallback inside _fused_bwd) — the
+        # split residual path is an embedder-scale (pack=1) strategy.
+        return "plain"
     ng, _, out = w3d.shape
     return _bwd_strategy(
         n, nin, ng, out, x2d.dtype.itemsize, w3d.dtype.itemsize,
@@ -1975,9 +2071,17 @@ def _sine_op_bwd(grid_size, res, g):
         fam,
     )
     # dfreq: small per-harmonic reduction, one fused XLA expression.
-    # phase here is (ng, in); sine_bases expects (in, ng).
-    _, _, dbf = K.sine_bases_and_grad(x2d, freq2d[0], phase.T)  # (N, in, ng)
-    gw = jnp.einsum("no,gio->nig", g.astype(jnp.float32), w3d.astype(jnp.float32))
+    # phase here is (ng, pack*in); sine_bases expects (in, ng) per slot —
+    # with row packing the slot axis rides an extra einsum batch dim.
+    n = x2d.shape[0]
+    ng, nin, out = w3d.shape
+    pack = x2d.shape[1] // nin
+    _, _, dbf = K.sine_bases_and_grad(x2d, freq2d[0], phase.T)  # (N, p*in, ng)
+    gw = jnp.einsum(
+        "nro,gio->nrig",
+        g.reshape(n, pack, out).astype(jnp.float32),
+        w3d.astype(jnp.float32),
+    ).reshape(n, pack * nin, ng)
     dfreq = jnp.sum(gw * dbf, axis=(0, 1))[None].astype(freq2d.dtype)
     return dx, dw, dfreq, jnp.zeros_like(phase)
 
@@ -2049,14 +2153,21 @@ _cheby_op.defvjp(_cheby_op_fwd, _cheby_op_bwd)
 # ---------------------------------------------------------------------------
 #
 # VPU registers are 128 lanes wide: every (bn, in) basis level at in=64 (the
-# ViT d_head projections) wastes half its lanes, and the basis math — not
-# the dots — is what dominates these kernels. Packing p = 128/in consecutive
-# rows into one kernel row makes every tile full-lane and cuts grid steps
-# p-fold; the weight becomes block-diagonal (packed row r's features feed
-# only output columns [r*out, (r+1)*out)), which costs p x the (tiny) dot
-# flops. Exact because all basis families are elementwise per input feature.
-# The transforms live OUTSIDE the custom-VJP ops, so autodiff differentiates
-# the pad/reshape/scatter and the packed dw folds back automatically.
+# ViT d_head projections) wastes half its lanes, and the basis math
+# dominates these kernels. Packing p = 128/in consecutive rows into one
+# kernel row makes every tile full-lane and cuts grid steps p-fold. Exact
+# because all basis families are elementwise per input feature.
+#
+# The contraction does NOT pay for the packing: the single-x template
+# kernels lay the basis scratch out slot-major and run p slice dots against
+# the ORIGINAL (F, out) weight (pack inferred from the x/w width ratio
+# inside _fused_fwd/_fused_bwd; end-to-end A/B vs the earlier
+# block-diagonal form in docs/PERFORMANCE.md). _pack_w3d's block-diagonal
+# weight (packed row r's features feed only output columns
+# [r*out, (r+1)*out), p x the dot flops on structural zeros) remains for
+# the non-plain fallback tiers and the dual-input FastKAN template, where
+# the transforms live OUTSIDE the custom-VJP ops and autodiff folds the
+# packed dw back automatically.
 
 def _row_pack_factor(nin: int) -> int:
     if os.environ.get("KANVIT_PACK", "1") == "0":  # benchmarking escape hatch
@@ -2117,8 +2228,10 @@ def bspline_kan(x, grid, base_weight, spline_weight, spline_scaler, spline_order
     if fold:
         w3d = jnp.concatenate([w3d, base_weight.T[None]], axis=0)
     if p > 1:
+        # Pack-aware: packed x, ORIGINAL weight (slice dots in-kernel);
+        # the grid extra is tiled to the packed width for the basis math.
         xp, np_ = _packed_rows(xf, p)
-        y = _bspline_op(xp, _pack_w3d(w3d, p), jnp.tile(grid.T, (1, p)),
+        y = _bspline_op(xp, w3d, jnp.tile(grid.T, (1, p)),
                         ng - spline_order, spline_order, True)
         return y.reshape(np_, out)[: xf.shape[0]].reshape(*lead, out)
     y = _bspline_op(xf, w3d, grid.T, ng - spline_order, spline_order, fold)
@@ -2207,7 +2320,7 @@ def sinekan(x, freq, phase, amplitudes, bias):
     p = _row_pack_factor(nin)
     if p > 1:
         xp, np_ = _packed_rows(xf, p)
-        y = _sine_op(xp, _pack_w3d(w3d, p), freq.reshape(1, -1),
+        y = _sine_op(xp, w3d, freq.reshape(1, -1),
                      jnp.tile(phase.T, (1, p)), ng)
         y = y.reshape(np_, out)[: xf.shape[0]]
     else:
@@ -2292,7 +2405,7 @@ def fourierkan(x, coeffs, bias):
     p = _row_pack_factor(nin)
     if p > 1:
         xp, np_ = _packed_rows(xf, p)
-        y = _fourier_op(xp, _pack_w3d(w3d, p), grid_size)
+        y = _fourier_op(xp, w3d, grid_size)
         y = y.reshape(np_, out)[: xf.shape[0]]
     else:
         y = _fourier_op(xf, w3d, grid_size)
@@ -2311,7 +2424,7 @@ def chebykan(x, coeffs):
     p = _row_pack_factor(nin)
     if p > 1:
         xp, np_ = _packed_rows(xf, p)
-        y = _cheby_op(xp, _pack_w3d(w3d, p), deg1 - 1)
+        y = _cheby_op(xp, w3d, deg1 - 1)
         y = y.reshape(np_, out)[: xf.shape[0]]
     else:
         y = _cheby_op(xf, w3d, deg1 - 1)
