@@ -292,6 +292,33 @@ def test_sine_plain_joint_bwd(x):
         assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
+def test_slice_dot_pack_qkv_shape():
+    """Pack-aware slice dots at the shared-basis qkv GEOMETRY (in=64 ->
+    pack=2, out=192 = 1.5 MXU lane tiles): values + full VJP vs the jnp
+    ground truth. The tiny-dim tests (IN=8 -> pack=16, OUT=16) never write
+    y slices at non-128-aligned lane offsets; this shape does."""
+    from kanvit.kernels import fused_basis as FB
+
+    n, nin, out = 40, 64, 192
+    key = jax.random.PRNGKey(33)
+    k1, k2, k3 = jax.random.split(key, 3)
+    xq = jnp.tanh(jax.random.normal(k1, (n, nin)))
+    grid = K.make_bspline_grid(nin, 5, 3)
+    bw = jax.random.normal(k2, (out, nin)) * 0.1
+    sw = jax.random.normal(k3, (out, nin, 8)) * 0.1
+    sc = jnp.ones((out, nin)) * 0.5
+
+    f_pal = lambda x, bw, sw, sc: FB.bspline_kan(x, grid, bw, sw, sc, 3)
+    f_ref = lambda x, bw, sw, sc: K.bspline_kan_forward(x, grid, bw, sw, sc, 3)
+    assert np.abs(np.asarray(
+        f_pal(xq, bw, sw, sc) - f_ref(xq, bw, sw, sc))).max() < 1e-5
+    g = jax.random.normal(jax.random.PRNGKey(34), (n, out)) * 0.5
+    gp = jax.grad(lambda a: (f_pal(*a) * g).sum())((xq, bw, sw, sc))
+    gr = jax.grad(lambda a: (f_ref(*a) * g).sum())((xq, bw, sw, sc))
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-4
+
+
 def test_sine_qkv_hatch_parity(x, monkeypatch):
     """KANVIT_SINE_QKV=1 (block-diagonal fused q/k/v launch, off by default
     after the end-to-end A/B loss) must stay value- and grad-equal to the
