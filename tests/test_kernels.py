@@ -292,6 +292,7 @@ def test_sine_plain_joint_bwd(x):
         assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
+@pytest.mark.slow  # interpret-mode at real qkv dims: ~90s on CPU
 def test_slice_dot_pack_qkv_shape():
     """Pack-aware slice dots at the shared-basis qkv GEOMETRY (in=64 ->
     pack=2, out=192 = 1.5 MXU lane tiles): values + full VJP vs the jnp
@@ -319,6 +320,7 @@ def test_slice_dot_pack_qkv_shape():
         assert np.abs(np.asarray(a - b)).max() < 1e-4
 
 
+@pytest.mark.slow  # full MSA fwd+bwd through interpret-mode kernels: ~150s
 def test_sine_qkv_hatch_parity(x, monkeypatch):
     """KANVIT_SINE_QKV=1 (block-diagonal fused q/k/v launch, off by default
     after the end-to-end A/B loss) must stay value- and grad-equal to the
