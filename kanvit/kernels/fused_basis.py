@@ -1225,6 +1225,128 @@ def _fourier_interleave(grid_size: int):
     return jnp.array(idx)
 
 
+# --- fourier kb via the harmonic angle-addition recurrence ------------------
+#
+# Fourier's harmonics are consecutive integers (cos kx / sin kx, k = 1..G —
+# reference nfkan.py:44-48), so the whole basis follows from ONE cos/sin
+# pair by angle addition:  c_{k+1} = c_k c_1 - s_k s_1,
+# s_{k+1} = s_k c_1 + c_k s_1  — 6 VPU mul/adds per harmonic instead of a
+# ~20-cycle transcendental per slice. That recompute bill is exactly why
+# the generic kb tier measured SLOWER than XLA for fourier (184.3 vs 145.9
+# ms op-level at the grid-28 mapper): each of fwd/dx/dw re-evaluated 56
+# sin/cos per element per pass. These specializations bring that to 2
+# transcendentals per element for the whole fwd pass (c_1, s_1 once, state
+# carried across k steps in a VMEM scratch), ZERO for dx (the derivative
+# -k sin / k cos reads the same carried pair), and 4 per (k, row-block)
+# step for dw (the transposed grid re-enters rows per k, so each step
+# re-seeds from a direct evaluation at the block's first harmonic).
+# f32 recurrence drift over 28 steps is ~1e-6 relative — far below the
+# bf16 dot noise. (Sine CANNOT use this: its per-slice frequencies are
+# trainable and arbitrary after the first update, sinekan.py:65-70.)
+
+def _trig_state_init(trig, x):
+    c1, s1 = jnp.cos(x), jnp.sin(x)
+    nin = x.shape[1]
+    trig[:, :nin] = c1
+    trig[:, nin : 2 * nin] = s1
+    trig[:, 2 * nin : 3 * nin] = c1
+    trig[:, 3 * nin :] = s1
+
+
+def _trig_state_read(trig, nin):
+    return (trig[:, :nin], trig[:, nin : 2 * nin],
+            trig[:, 2 * nin : 3 * nin], trig[:, 3 * nin :])
+
+
+def _fwd_kernel_kbf(x_ref, w_ref, hk_ref, y_ref, basis_scr, acc, trig,
+                    *, nin, gb):
+    del hk_ref  # harmonic ids are implicit in the carried recurrence state
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        _trig_state_init(trig, x_ref[:].astype(jnp.float32))
+
+    c1, s1, ch, sh = _trig_state_read(trig, nin)
+    for j in range(gb // 2):
+        basis_scr[:, (2 * j) * nin : (2 * j + 1) * nin] = ch.astype(
+            basis_scr.dtype
+        )
+        basis_scr[:, (2 * j + 1) * nin : (2 * j + 2) * nin] = sh.astype(
+            basis_scr.dtype
+        )
+        ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+    trig[:, 2 * nin : 3 * nin] = ch
+    trig[:, 3 * nin :] = sh
+    acc[:] += jax.lax.dot_general(
+        basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        y_ref[:] = acc[:].astype(y_ref.dtype)
+
+
+def _dx_kernel_kbf(x_ref, w_ref, g_ref, hk_ref, dx_ref, acc, trig, *, nin, gb):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+        _trig_state_init(trig, x_ref[:].astype(jnp.float32))
+
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, gb*nin) f32
+    c1, s1, ch, sh = _trig_state_read(trig, nin)
+    for j in range(gb // 2):
+        m = hk_ref[0, k * gb + 2 * j]
+        # d cos(mx)/dx = -m sin(mx); d sin(mx)/dx = m cos(mx)
+        acc[:] += m * (
+            gw[:, (2 * j + 1) * nin : (2 * j + 2) * nin] * ch
+            - gw[:, (2 * j) * nin : (2 * j + 1) * nin] * sh
+        )
+        ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+    trig[:, 2 * nin : 3 * nin] = ch
+    trig[:, 3 * nin :] = sh
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        dx_ref[:] = acc[:].astype(dx_ref.dtype)
+
+
+def _dw_kernel_kbf(x_ref, g_ref, hk_ref, dw_ref, basis_scr, *, nin, gb):
+    # Grid (k, rows), rows innermost (dw block resident per k): the row
+    # block changes every step, so the state re-seeds by direct evaluation
+    # at the block's first harmonic instead of riding a carry.
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    x = x_ref[:].astype(jnp.float32)
+    c1, s1 = jnp.cos(x), jnp.sin(x)
+    a0 = hk_ref[0, pl.program_id(0) * gb] * x
+    ch, sh = jnp.cos(a0), jnp.sin(a0)
+    for j in range(gb // 2):
+        basis_scr[:, (2 * j) * nin : (2 * j + 1) * nin] = ch.astype(
+            basis_scr.dtype
+        )
+        basis_scr[:, (2 * j + 1) * nin : (2 * j + 2) * nin] = sh.astype(
+            basis_scr.dtype
+        )
+        ch, sh = ch * c1 - sh * s1, sh * c1 + ch * s1
+    dw_ref[:] += jax.lax.dot_general(
+        basis_scr[:], g_ref[:].astype(basis_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _fwd_kernel_kb(*refs, family, nin, gb, extra_axes):
     x_ref, w_ref, *extra_refs, y_ref, basis_scr, acc = refs
     k = pl.program_id(1)
@@ -1348,31 +1470,34 @@ def _kb_bn(fixed: int, per_row: int) -> int:
 
 
 def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
-             pair: bool = False):
+             pair: bool = False, recur: bool = False):
     """(gb, bn_fwd, bn_dx, bn_dw) for the K-blocked tier, or None.
 
     Row blocks are picked PER KERNEL: the full weight streams once per row
     block in the k-inner kernels (fwd/dx), so their bn directly divides the
     dominant HBM term — a joint picker pinned to the dw kernel's larger
     fixed set (the f32 dw block) would re-stream the weight 3-4x more often.
-    ``pair``: gb must stay even (fourier's interleaved cos/sin parity)."""
+    ``pair``: gb must stay even (fourier's interleaved cos/sin parity).
+    ``recur``: charge the 4-wide f32 trig carry (fwd/dx scratch, dw temps)
+    of the harmonic-recurrence kernels."""
     rn = _round_up(nin, 128)
     ro = _round_up(out, 128)
+    trig = 4 * rn * 4 if recur else 0
     for gb in (8, 4, 2):
         if ng % gb or gb >= ng or (pair and gb % 2):
             continue
         fk = gb * nin
         slab = 2 * fk * out * wb  # double-buffered weight slab
         per_fwd = (
-            4 * rn * 4 + 2 * fk * db + ro * 4       # temps, basis, y acc
+            4 * rn * 4 + 2 * fk * db + ro * 4 + trig  # temps, basis, y acc
             + 2 * (rn * xb + ro * xb)
         )
         per_dx = (
-            5 * rn * 4 + fk * 4                     # temps, f32 gw, dx acc
+            5 * rn * 4 + fk * 4 + trig              # temps, f32 gw, dx acc
             + 2 * (2 * rn * xb + ro * xb)
         )
         per_dw = (
-            4 * rn * 4 + 2 * fk * db + fk * 4       # temps, basis, sine gw
+            4 * rn * 4 + 2 * fk * db + fk * 4 + trig  # temps, basis, sine gw
             + 2 * (rn * xb + ro * xb)
         )
         bn_fwd = _kb_bn(slab, per_fwd)
@@ -1383,7 +1508,8 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
     return None
 
 
-def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False) -> bool:
+def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False,
+                 recur: bool = False) -> bool:
     """Shape/dtype-only probe of ``_kb_strategy`` for the dispatch gate."""
     wb = jnp.dtype(wdt).itemsize
     if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
@@ -1391,10 +1517,10 @@ def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False) -> bool:
     db = 2 if (jnp.dtype(xdt) == jnp.bfloat16
                and jnp.dtype(wdt) == jnp.bfloat16) else 4
     return _pick_kb(nin, out, ng, jnp.dtype(xdt).itemsize, wb, db,
-                    pair=pair) is not None
+                    pair=pair, recur=recur) is not None
 
 
-def _kb_strategy(x2d, w3d, pair: bool = False):
+def _kb_strategy(x2d, w3d, pair: bool = False, recur: bool = False):
     """Engage kb only where the weight-resident tiers cannot hold the full
     (F, out) weight (+ f32 dw) — i.e. where the alternative is the
     out-blocked tier's per-slab transcendental recompute or XLA's
@@ -1407,19 +1533,27 @@ def _kb_strategy(x2d, w3d, pair: bool = False):
     if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
         return None
     db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
-    return _pick_kb(nin, out, ng, x2d.dtype.itemsize, wb, db, pair=pair)
+    return _pick_kb(nin, out, ng, x2d.dtype.itemsize, wb, db, pair=pair,
+                    recur=recur)
 
 
-def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn):
+def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn,
+                  recur: bool = False):
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     nk = ng // gb
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     bd = _dot_dtype(x2d, w3d)
+    if recur:
+        kern = functools.partial(_fwd_kernel_kbf, nin=nin, gb=gb)
+        scratch_extra = [pltpu.VMEM((bn, 4 * nin), jnp.float32)]
+    else:
+        kern = functools.partial(_fwd_kernel_kb, family=family, nin=nin,
+                                 gb=gb, extra_axes=extra_axes)
+        scratch_extra = []
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel_kb, family=family, nin=nin, gb=gb,
-                          extra_axes=extra_axes),
+        kern,
         grid=(np_ // bn, nk),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
@@ -1434,6 +1568,7 @@ def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn):
         scratch_shapes=[
             pltpu.VMEM((bn, gb * nin), bd),
             pltpu.VMEM((bn, out), jnp.float32),
+            *scratch_extra,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -1444,11 +1579,12 @@ def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn):
 
 
 def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
-                  bn_dx, bn_dw, sine_freq_phase=None):
+                  bn_dx, bn_dw, sine_freq_phase=None, recur: bool = False):
     """dx via (rows, k) accumulation; dw via the transposed (k, rows) grid
     (each kernel gets its own row block — see ``_pick_kb``).
     ``sine_freq_phase``: (freq2d, phase) engages the sine dw kernel with
-    in-kernel dfreq; returns (dx, dw[, dfreq2d])."""
+    in-kernel dfreq; returns (dx, dw[, dfreq2d]).
+    ``recur``: fourier harmonic-recurrence kernels (extras must be (hk,))."""
     n, nin = x2d.shape
     ng, _, out = w3d.shape
     nk = ng // gb
@@ -1458,9 +1594,15 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero contribs
+    if recur:
+        dx_kern = functools.partial(_dx_kernel_kbf, nin=nin, gb=gb)
+        dx_scratch_extra = [pltpu.VMEM((bn, 4 * nin), jnp.float32)]
+    else:
+        dx_kern = functools.partial(_dx_kernel_kb, family=family, nin=nin,
+                                    gb=gb, extra_axes=extra_axes)
+        dx_scratch_extra = []
     dx = pl.pallas_call(
-        functools.partial(_dx_kernel_kb, family=family, nin=nin, gb=gb,
-                          extra_axes=extra_axes),
+        dx_kern,
         grid=(np_ // bn, nk),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
@@ -1474,7 +1616,8 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
         out_specs=pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
-        scratch_shapes=[pltpu.VMEM((bn, nin), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bn, nin), jnp.float32),
+                        *dx_scratch_extra],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -1522,9 +1665,13 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
         dw = dw2d.astype(w3d.dtype).reshape(ng, nin, out)
         return dx[:n], dw, dfreqk.reshape(1, ng).astype(freq2d.dtype)
 
+    if recur:
+        dw_kern = functools.partial(_dw_kernel_kbf, nin=nin, gb=gb)
+    else:
+        dw_kern = functools.partial(_dw_kernel_kb, family=family, nin=nin,
+                                    gb=gb, extra_axes=extra_axes)
     dw2d = pl.pallas_call(
-        functools.partial(_dw_kernel_kb, family=family, nin=nin, gb=gb,
-                          extra_axes=extra_axes),
+        dw_kern,
         grid=(nk, np_ // bn),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
@@ -2098,13 +2245,14 @@ def _fourier_hk(grid_size):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _fourier_op(x2d, w3d, grid_size):
-    kb = _kb_strategy(x2d, w3d, pair=True)
+    kb = _kb_strategy(x2d, w3d, pair=True, recur=True)
     if kb:
         gb, bn_fwd, _, _ = kb
         w3i = w3d[_fourier_interleave(grid_size)]
         hk = _fourier_hk(grid_size)
         return _fused_fwd_kb(x2d, w3i, (hk,), (_smem_spec(hk),), (1,),
-                             fourier_family_kb(grid_size), gb, bn_fwd)
+                             fourier_family_kb(grid_size), gb, bn_fwd,
+                             recur=True)
     return _fused_fwd(x2d, w3d, (), (), fourier_family(grid_size))
 
 
@@ -2114,14 +2262,14 @@ def _fourier_op_fwd(x2d, w3d, grid_size):
 
 def _fourier_op_bwd(grid_size, res, g):
     x2d, w3d = res
-    kb = _kb_strategy(x2d, w3d, pair=True)
+    kb = _kb_strategy(x2d, w3d, pair=True, recur=True)
     if kb:
         gb, _, bn_dx, bn_dw = kb
         perm = _fourier_interleave(grid_size)
         hk = _fourier_hk(grid_size)
         dx, dwi = _fused_bwd_kb(x2d, w3d[perm], g, (hk,), (_smem_spec(hk),),
                                 (1,), fourier_family_kb(grid_size), gb,
-                                bn_dx, bn_dw)
+                                bn_dx, bn_dw, recur=True)
         return dx, dwi[jnp.argsort(perm)]
     dx, dw = _fused_bwd(x2d, w3d, g, (), (), fourier_family(grid_size))
     return dx, dw
@@ -2392,13 +2540,17 @@ def fourierkan(x, coeffs, bias):
     nin = x.shape[-1]
     _, out, _, grid_size = coeffs.shape
     xf = x.reshape(-1, nin)
-    # The kb tier is NOT an enabler for fourier: unlike sine there is no
-    # trainable freq whose XLA backward materializes an (N, in, ng) temp, so
-    # kb's 3x transcendental recompute has nothing to pay for it. Measured
-    # at the ViT-S grid-28 mapper (tools/tpu_probe_kb_mapper.py): kb 184.3
-    # vs XLA 145.9 ms op-level fwd+bwd; end-to-end 1,081 vs 1,387 img/s.
-    # The kb branch in _fourier_op stays as the KANVIT_IMPL=pallas A/B hatch.
-    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin):
+    # The generic kb tier measured SLOWER than XLA here (184.3 vs 145.9 ms
+    # op-level at the grid-28 mapper): with no trainable freq there was
+    # nothing to pay for its 3x transcendental recompute. The harmonic
+    # angle-addition recurrence kernels (cos/sin(kx) from one cos/sin(x)
+    # pair — see _fwd_kernel_kbf) remove that bill and flip it decisively:
+    # 65.8 vs 145.9 ms op-level (tools/tpu_probe_kb_mapper.py, round 3), so
+    # kb is an enabler for fourier again.
+    kb_ok = _kb_eligible(nin, 2 * grid_size, out, x.dtype, coeffs.dtype,
+                         pair=True, recur=True)
+    if not _should_fuse(xf.shape[0], nin * 2 * grid_size, nin=nin,
+                        kb_ok=kb_ok):
         return K.fourierkan_forward(x, coeffs, bias)
     # (2, out, in, g) -> (2g, in, out): cos harmonics then sin harmonics.
     w3d = coeffs.transpose(0, 3, 2, 1).reshape(2 * grid_size, nin, out)

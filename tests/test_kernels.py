@@ -380,6 +380,18 @@ def test_kb_streaming_fourier(x):
     assert np.abs(np.asarray(dx - rx)).max() < 1e-4
     assert np.abs(np.asarray(dw - rw)).max() < 1e-4
 
+    # Harmonic-recurrence kernels (recur=True): cos/sin(kx) built by angle
+    # addition from one direct cos/sin(x) pair — must match the direct
+    # evaluation to recurrence-drift precision.
+    yr = FB._fused_fwd_kb(x, w3d[perm], (hk,), specs, axes, fam, gb, bn,
+                          recur=True)
+    assert np.abs(np.asarray(yr - ref(x, w3d))).max() < 1e-5
+    dxr, dwir = FB._fused_bwd_kb(x, w3d[perm], g, (hk,), specs, axes, fam,
+                                 gb, bn, bn, recur=True)
+    dwr = dwir[jnp.argsort(perm)]
+    assert np.abs(np.asarray(dxr - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dwr - rw)).max() < 1e-4
+
 
 def test_kb_strategy_engages_at_mapper_shapes():
     """Dispatch: the ViT-S sine/fourier grid-28 mappers route to the kb
