@@ -73,7 +73,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
                     scr_bytes: int = 4, stream_bytes: int = 0,
-                    per_g: bool = True, pack: int = 1) -> int:
+                    per_g: bool = True, pack: int = 1,
+                    slot_w: bool = False) -> int:
     """Largest row block (multiple of 8, <=512) whose unrolled live set
     (~n_temps arrays of (bn, in) f32 per g step, plus the basis scratch row
     and the resident weight/dw blocks) fits the budget. The cap matters: at
@@ -93,8 +94,13 @@ def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
     (x in, y/g/dx out) — these ride VMEM alongside the live set.
     ``pack``: row-pack factor. ``nin``/``out`` are the per-slot (original)
     dims; the resident weight/dw stay per-slot sized (pack-aware slice
-    dots) while the per-row temps/scratch span all ``pack`` slots."""
-    fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0))
+    dots) while the per-row temps/scratch span all ``pack`` slots.
+    ``slot_w``: each slot carries its OWN weight (the slot-grouped qkv
+    kernels, where slots are attention heads) — the resident weight/dw
+    scale with ``pack``."""
+    fixed = ng * nin * out * (w_bytes + (4 if with_dw else 0)) * (
+        pack if slot_w else 1
+    )
     per_row = (n_temps * (ng if per_g else 1)
                * _round_up(pack * nin, 128) * 4
                # Basis scratch charged twice: the (bn, F) array itself plus
@@ -363,7 +369,7 @@ def bspline_family(grid_size: int, spline_order: int,
 # Generic kernel template
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(*refs, family, nin, pack=1):
+def _fwd_kernel(*refs, family, nin, pack=1, slot_w=False):
     # Expand each basis slice into a flat (bn, ng*in) VMEM scratch, then one
     # MXU matmul against the flat weight (F, out) — XLA's schedule for the
     # jnp path, minus the HBM round trip for the basis tensor.
@@ -384,6 +390,10 @@ def _fwd_kernel(*refs, family, nin, pack=1):
     # scratch is laid out slot-major ([slot r | basis gi | feature i]) and
     # contracted per slot against the ORIGINAL (F, out) weight — packed
     # VPU fill at unpacked dot cost. ``nin`` is the per-slot width.
+    #
+    # ``slot_w``: slots are attention HEADS, not packed rows (the
+    # slot-grouped qkv path) — w_ref is (pack*F, out) with slot r's weight
+    # at rows [r*F, (r+1)*F); each slot contracts against its own weight.
     x_ref, w_ref, *extra_refs, y_ref, basis_scr = refs
     f = family.ng * nin
     out = w_ref.shape[1]
@@ -397,16 +407,17 @@ def _fwd_kernel(*refs, family, nin, pack=1):
             )
     w = w_ref[:].astype(basis_scr.dtype)
     for r in range(pack):
+        w_r = w[r * f : (r + 1) * f] if slot_w else w
         y_ref[:, r * out : (r + 1) * out] = jax.lax.dot_general(
-            basis_scr[:, r * f : (r + 1) * f], w, (((1,), (0,)), ((), ())),
+            basis_scr[:, r * f : (r + 1) * f], w_r, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(y_ref.dtype)
 
 
-def _bwd_kernel(*refs, family, nin, pack=1):
+def _bwd_kernel(*refs, family, nin, pack=1, slot_w=False, grid_axis=0):
     x_ref, w_ref, g_ref, *extra_refs, dx_ref, dw_ref, basis_scr, dw_acc = refs
-    i = pl.program_id(0)
-    n_i = pl.num_programs(0)
+    i = pl.program_id(grid_axis)
+    n_i = pl.num_programs(grid_axis)
 
     @pl.when(i == 0)
     def _init():
@@ -428,7 +439,9 @@ def _bwd_kernel(*refs, family, nin, pack=1):
     w = w_ref[:].astype(gout.dtype)
     gws = [
         jax.lax.dot_general(
-            gout[:, r * out : (r + 1) * out], w, (((1,), (1,)), ((), ())),
+            gout[:, r * out : (r + 1) * out],
+            w[r * f : (r + 1) * f] if slot_w else w,
+            (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (bn, F) f32
         for r in range(pack)
@@ -447,12 +460,16 @@ def _bwd_kernel(*refs, family, nin, pack=1):
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
     for r in range(pack):
-        dw_acc[:] += jax.lax.dot_general(
+        contrib = jax.lax.dot_general(
             basis_scr[:, r * f : (r + 1) * f],
             gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (F, out) f32
+        if slot_w:
+            dw_acc[r * f : (r + 1) * f, :] += contrib
+        else:
+            dw_acc[:] += contrib
 
     @pl.when(i == n_i - 1)
     def _finish():
@@ -1019,6 +1036,227 @@ def _fused_bwd(x2d, w3d, g, extras, extra_specs, family):
         interpret=dispatch.interpret_mode(),
     )(xp, w2d, gp, *extras)
     return dx[:n], dw2d.reshape(ng, nin, out)
+
+
+# --- slot-grouped qkv tier (heads as slots; zero-transpose MSA) -------------
+#
+# MSA's per-head KAN projections cost ~4.7 ms/block of pure GLUE at ViT-S
+# (MSA 13.07 ms - qkv op 4.64 - attention 3.77; tools/tpu_probe_qkv_parts.py):
+# the (B,T,H,dh) -> (H,B,T,dh) transpose feeding the vmapped kernels, its
+# grad transpose on the backward, the row-pack relayouts, and the per-head
+# output moveaxis are each a full HBM round trip that cannot fuse across
+# the Pallas custom-call boundary. This tier removes them: ONE kernel over
+# grid (head-group, row-block) whose BlockSpecs index head lanes directly
+# in the (B*T, H*dh) activation — slots are HEADS (q = 128/dh per program
+# keeps lane blocks 128-wide), each slot contracting against its own
+# weight stacked on the sublane axis ((q*F, out) resident per program).
+# Identical math to the vmapped per-head path (reference attention.py
+# per-head dispatch, attention.py:143-170); zero kernel-side transposes.
+
+def _sg_slots(n_heads: int, d_head: int):
+    """Heads per program, or None when the lane blocking cannot be legal
+    (lane blocks must be 128-multiples or the full minor dim)."""
+    q = max(1, 128 // max(d_head, 1))
+    if q >= n_heads:
+        return n_heads  # one program spans all heads: full-minor-dim block
+    if n_heads % q == 0 and (q * d_head) % 128 == 0:
+        return q
+    return None
+
+
+def _sg_bn(nin, out, family, x2d, w_sg, qslots, with_dw):
+    db = jnp.dtype(_dot_dtype(x2d, w_sg)).itemsize
+    xb = x2d.dtype.itemsize
+    n_io = 4 if with_dw else 2  # x (+g) in, y (dx) out
+    stream = n_io * (_round_up(qslots * nin, 128) * xb
+                     + _round_up(qslots * out, 128) * xb)
+    return _pick_row_block(
+        nin, out, family.ng, n_temps=3 if with_dw else 2,
+        w_bytes=w_sg.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
+        stream_bytes=stream, per_g=not family.lazy, pack=qslots, slot_w=True,
+    )
+
+
+def _fused_fwd_sg(x2d, w_sg, extras, extra_specs, family, nin, qslots):
+    """x2d (N, G*nin) head-sliced lanes; w_sg (G*F, out) slot-stacked.
+    Returns y (N, G*out) with slot g's projections at [g*out, (g+1)*out)."""
+    n, d_all = x2d.shape
+    groups = d_all // nin
+    f = family.ng * nin
+    out = w_sg.shape[1]
+    bn = min(_sg_bn(nin, out, family, x2d, w_sg, qslots, False),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, family=family, nin=nin, pack=qslots,
+                          slot_w=True),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, groups * out), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, qslots * f), _dot_dtype(x2d, w_sg))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w_sg, *extras)
+    return y[:n]
+
+
+def _fused_bwd_sg(x2d, w_sg, g, extras, extra_specs, family, nin, qslots):
+    """Returns (dx (N, G*nin), dw (G*F, out)). Row blocks iterate innermost
+    so each head group's f32 dw accumulator stays VMEM-resident across all
+    rows (reset at i==0, flushed at the last row block — the _bwd_kernel
+    pattern with the row axis at grid position 1)."""
+    n, d_all = x2d.shape
+    groups = d_all // nin
+    f = family.ng * nin
+    out = w_sg.shape[1]
+    bn = min(_sg_bn(nin, out, family, x2d, w_sg, qslots, True),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero dw contribs
+    dx, dw = pl.pallas_call(
+        functools.partial(_bwd_kernel, family=family, nin=nin, pack=qslots,
+                          slot_w=True, grid_axis=1),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, d_all), x2d.dtype),
+            jax.ShapeDtypeStruct((groups * f, out), w_sg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, qslots * f), _dot_dtype(x2d, w_sg)),
+            pltpu.VMEM((qslots * f, out), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w_sg, gp, *extras)
+    return dx[:n], dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _bspline_op_sg(x2d, w_sg, gridt_q, grid_size, spline_order, with_base,
+                   qslots):
+    fam = bspline_family(grid_size, spline_order, with_base)
+    nin = gridt_q.shape[1] // qslots
+    return _fused_fwd_sg(x2d, w_sg, (gridt_q,), (_full_vmem_spec(gridt_q),),
+                         fam, nin, qslots)
+
+
+def _bspline_op_sg_fwd(x2d, w_sg, gridt_q, grid_size, spline_order,
+                       with_base, qslots):
+    y = _bspline_op_sg(x2d, w_sg, gridt_q, grid_size, spline_order,
+                       with_base, qslots)
+    return y, (x2d, w_sg, gridt_q)
+
+
+def _bspline_op_sg_bwd(grid_size, spline_order, with_base, qslots, res, g):
+    x2d, w_sg, gridt_q = res
+    fam = bspline_family(grid_size, spline_order, with_base)
+    nin = gridt_q.shape[1] // qslots
+    dx, dw = _fused_bwd_sg(x2d, w_sg, g, (gridt_q,),
+                           (_full_vmem_spec(gridt_q),), fam, nin, qslots)
+    return dx, dw, jnp.zeros_like(gridt_q)
+
+
+_bspline_op_sg.defvjp(_bspline_op_sg_fwd, _bspline_op_sg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _cheby_op_sg(x2d, w_sg, degree, nin, qslots):
+    return _fused_fwd_sg(x2d, w_sg, (), (), cheby_family(degree), nin, qslots)
+
+
+def _cheby_op_sg_fwd(x2d, w_sg, degree, nin, qslots):
+    return _cheby_op_sg(x2d, w_sg, degree, nin, qslots), (x2d, w_sg)
+
+
+def _cheby_op_sg_bwd(degree, nin, qslots, res, g):
+    x2d, w_sg = res
+    dx, dw = _fused_bwd_sg(x2d, w_sg, g, (), (), cheby_family(degree), nin,
+                           qslots)
+    return dx, dw
+
+
+_cheby_op_sg.defvjp(_cheby_op_sg_fwd, _cheby_op_sg_bwd)
+
+
+def bspline_qkv_grouped(x2d, grid, bw, sw, sc, spline_order=3):
+    """Grouped-head joint q/k/v B-spline projection.
+
+    ``x2d (N, H*dh)`` head-sliced activation (head h at lanes
+    [h*dh, (h+1)*dh) — the reference's slicing, attention.py:195-197);
+    ``bw (H, out, dh)``, ``sw (H, out, dh, ng)``, ``sc (H, out, dh)`` the
+    per-head q/k/v-concatenated KANLinear params (out = 3*dh); ``grid``
+    the shared (dh, knots) table. Returns ``y (N, H*out)`` with head h at
+    [h*out, (h+1)*out), or None when the slot grouping or VMEM model says
+    the shape cannot run here (caller falls back to the vmapped path)."""
+    h, out, dh = bw.shape
+    ng = sw.shape[-1]
+    q = _sg_slots(h, dh)
+    if q is None or not _should_fuse(x2d.shape[0], (ng + 1) * dh,
+                                     family="bspline", nin=dh):
+        return None
+    fam_probe = bspline_family(grid.shape[1] - 2 * spline_order - 1,
+                               spline_order, True)
+    gridt_q = jnp.tile(grid.T, (1, q)).astype(jnp.float32)
+    w_probe = jnp.zeros((1, 1), sw.dtype)
+    if min(_sg_bn(dh, out, fam_probe, x2d, w_probe, q, False),
+           _sg_bn(dh, out, fam_probe, x2d, w_probe, q, True)) < 32:
+        return None
+    # (H, ng+1, dh, out): spline slices then the silu base slice (the
+    # bspline_family(with_base=True) slice order), flattened slot-major.
+    scaled = (sw * sc[..., None]).transpose(0, 3, 2, 1)  # (H, ng, dh, out)
+    base = bw.transpose(0, 2, 1)[:, None]                # (H, 1, dh, out)
+    w_sg = jnp.concatenate([scaled, base], axis=1).reshape(
+        h * (ng + 1) * dh, out
+    )
+    grid_size = grid.shape[1] - 2 * spline_order - 1
+    return _bspline_op_sg(x2d, w_sg, gridt_q, grid_size, spline_order, True,
+                          q)
+
+
+def cheby_qkv_grouped(x2d, cc):
+    """Grouped-head joint q/k/v Chebyshev projection. ``cc (H, dh, out, D)``
+    per-head q/k/v-concatenated coeffs (out = 3*dh). Same contract as
+    ``bspline_qkv_grouped``."""
+    h, dh, out, deg1 = cc.shape
+    q = _sg_slots(h, dh)
+    if q is None or not _should_fuse(x2d.shape[0], deg1 * dh, nin=dh):
+        return None
+    fam = cheby_family(deg1 - 1)
+    w_probe = jnp.zeros((1, 1), cc.dtype)
+    if min(_sg_bn(dh, out, fam, x2d, w_probe, q, False),
+           _sg_bn(dh, out, fam, x2d, w_probe, q, True)) < 32:
+        return None
+    w_sg = cc.transpose(0, 3, 1, 2).reshape(h * deg1 * dh, out)
+    return _cheby_op_sg(x2d, w_sg, deg1 - 1, dh, q)
 
 
 # --- sine plain tier with in-kernel dfreq ----------------------------------

@@ -53,20 +53,27 @@ def _head_projection_cls_and_kwargs(kind: str, d_head: int,
     raise ValueError(f"{kind} invalid. Please use a different argument.")
 
 
-def _shared_basis_qkv(kind, xh, d_head, pq, pk, pv):
+def _shared_basis_qkv(kind, x, d_head, pq, pk, pv):
     """Joint q/k/v projection sharing one basis expansion.
 
-    ``xh``: ``(H, B, T, dh)``; params are the per-head stacked trees of the
+    ``x``: ``(B, T, H*dh)``; params are the per-head stacked trees of the
     three vmapped projection modules. Concatenates the three weight sets
-    along the output axis, runs the (dispatch-selected) KAN op once per
-    head via vmap, splits thirds. Mathematically identical to three calls;
+    along the output axis and runs the KAN op once per head — via the
+    slot-grouped kernel straight off the head-sliced activation when the
+    shape allows (zero transposes on the projection side; see
+    ``fused_basis.bspline_qkv_grouped``), else via vmap over a materialized
+    ``(H, B, T, dh)`` transpose. Mathematically identical to three calls;
     saves 2/3 of the basis work on paths XLA cannot CSE (the Pallas custom
-    calls are opaque to it).
+    calls are opaque to it). Returns ``(q, k, v)`` as ``(B, H, T, dh)``.
     """
     import jax
 
     from kanvit.kernels import fused_basis as FB
     from kanvit.ops import kan_bases as K
+
+    b, t, d = x.shape
+    n_heads = d // d_head
+    grouped = os.environ.get("KANVIT_QKV_SG", "1") == "1"
 
     if kind == "efficientkan":
         bw = jnp.concatenate([pq["base_weight"], pk["base_weight"],
@@ -78,25 +85,45 @@ def _shared_basis_qkv(kind, xh, d_head, pq, pk, pv):
         if "grid" in pq:
             # Stateful (adaptive) grids: per-head (H, dh, knots). q/k/v see
             # the same input and the refit is deterministic in it, so their
-            # grids stay identical — sharing q's is exact.
-            grid = pq["grid"]
-            y = jax.vmap(
-                lambda xh_h, g_h, bw_h, sw_h, sc_h: FB.bspline_kan(
-                    xh_h, g_h, bw_h, sw_h, sc_h, 3
-                )
-            )(xh, grid, bw, sw, sc)  # (H, B, T, 3dh)
+            # grids stay identical — sharing q's is exact. (The grouped
+            # kernel shares ONE grid table across heads, so stateful grids
+            # keep the vmapped path.)
+            grid, ysg = pq["grid"], None
         else:
             grid = K.make_bspline_grid(d_head)
-            y = jax.vmap(
-                lambda xh_h, bw_h, sw_h, sc_h: FB.bspline_kan(
-                    xh_h, grid, bw_h, sw_h, sc_h, 3
-                )
-            )(xh, bw, sw, sc)  # (H, B, T, 3dh)
+            ysg = (FB.bspline_qkv_grouped(x.reshape(b * t, d), grid, bw, sw,
+                                          sc, 3)
+                   if grouped else None)
+        if ysg is None:
+            xh = jnp.moveaxis(x.reshape(b, t, n_heads, d_head), 2, 0)
+            if "grid" in pq:
+                y = jax.vmap(
+                    lambda xh_h, g_h, bw_h, sw_h, sc_h: FB.bspline_kan(
+                        xh_h, g_h, bw_h, sw_h, sc_h, 3
+                    )
+                )(xh, grid, bw, sw, sc)  # (H, B, T, 3dh)
+            else:
+                y = jax.vmap(
+                    lambda xh_h, bw_h, sw_h, sc_h: FB.bspline_kan(
+                        xh_h, grid, bw_h, sw_h, sc_h, 3
+                    )
+                )(xh, bw, sw, sc)  # (H, B, T, 3dh)
     else:  # cheby
         cc = jnp.concatenate([pq["cheby_coeffs"], pk["cheby_coeffs"],
                               pv["cheby_coeffs"]], axis=2)  # (H, dh, 3dh, D)
-        y = jax.vmap(FB.chebykan)(xh, cc)
-    return y[..., :d_head], y[..., d_head : 2 * d_head], y[..., 2 * d_head :]
+        ysg = (FB.cheby_qkv_grouped(x.reshape(b * t, d), cc)
+               if grouped else None)
+        if ysg is None:
+            xh = jnp.moveaxis(x.reshape(b, t, n_heads, d_head), 2, 0)
+            y = jax.vmap(FB.chebykan)(xh, cc)
+
+    if ysg is not None:
+        # (N, H*3dh) head-major -> (B, H, T, 3dh)
+        yh = ysg.reshape(b, t, n_heads, 3 * d_head).transpose(0, 2, 1, 3)
+    else:
+        yh = jnp.moveaxis(y, 0, 1)  # (H, B, T, 3dh) -> (B, H, T, 3dh)
+    return (yh[..., :d_head], yh[..., d_head : 2 * d_head],
+            yh[..., 2 * d_head :])
 
 
 def _fused_qkv_sine(xh, d_head, grid_size, pq, pk, pv):
@@ -157,8 +184,6 @@ class MSA(nn.Module):
             return V(**kwargs, name=name)
 
         b, t, _ = x.shape
-        # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh]
-        xh = jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
 
         qm, km, vm = (vmapped(n) for n in ("q_mappings", "k_mappings", "v_mappings"))
 
@@ -183,20 +208,27 @@ class MSA(nn.Module):
                       and os.environ.get("KANVIT_SINE_QKV") == "1")
         fused_path = (shared or sine_fused) and not self.is_initializing() \
             and not self.stateful_grid
+        # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh].
+        # Only materialized on the paths that need the per-head layout —
+        # the shared-basis path reads head lanes in place.
+        def head_major():
+            return jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
+
         if not fused_path:
+            xh = head_major()
             q, k, v = qm(xh), km(xh), vm(xh)
+            q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
         else:
             # Unbound submodules cannot expose .variables; read the stacked
             # per-head params straight from this module's scope.
             pq, pk, pv = (self.scope.get_variable("params", n)
                           for n in ("q_mappings", "k_mappings", "v_mappings"))
             if shared:
-                q, k, v = _shared_basis_qkv(self.type, xh, d_head, pq, pk, pv)
+                # returns (B, H, T, dh) directly
+                q, k, v = _shared_basis_qkv(self.type, x, d_head, pq, pk, pv)
             else:
-                q, k, v = _fused_qkv_sine(xh, d_head, 4, pq, pk, pv)
-
-        # (H, B, T, dh) -> (B, H, T, dh)
-        q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+                q, k, v = _fused_qkv_sine(head_major(), d_head, 4, pq, pk, pv)
+                q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
         # The dispatched entry: XLA fused attention below the engage
         # threshold (identical math to multi_head_attention incl. the
         # d**-0.5 scale), the Pallas single-tile/flash kernels above it

@@ -320,6 +320,87 @@ def test_slice_dot_pack_qkv_shape():
         assert np.abs(np.asarray(a - b)).max() < 1e-4
 
 
+def test_grouped_qkv_slot_kernels():
+    """Slot-grouped qkv tier (heads as slots, per-slot weights, lane-block
+    indexing into the (N, H*dh) activation): values + full VJP vs the
+    per-head jnp ground truth, at a geometry with q < H so the head-group
+    grid axis and the (q*F, out) weight blocks are exercised."""
+    from kanvit.kernels import fused_basis as FB
+
+    n, h, dh = 32, 8, 32
+    out, d = 3 * dh, h * dh
+    assert FB._sg_slots(h, dh) == 4
+    key = jax.random.PRNGKey(40)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x2d = jnp.tanh(jax.random.normal(k1, (n, d)))
+    grid = K.make_bspline_grid(dh, 5, 3)
+    bw = jax.random.normal(k2, (h, out, dh)) * 0.1
+    sw = jax.random.normal(k3, (h, out, dh, 8)) * 0.1
+    sc = jnp.ones((h, out, dh)) * 0.5
+    g = jax.random.normal(k4, (n, h * out)) * 0.5
+
+    def ref(x2d, bw, sw, sc):
+        return jnp.concatenate([
+            K.bspline_kan_forward(
+                x2d[:, i * dh : (i + 1) * dh], grid, bw[i], sw[i], sc[i], 3
+            )
+            for i in range(h)
+        ], axis=1)
+
+    f_sg = lambda x2d, bw, sw, sc: FB.bspline_qkv_grouped(
+        x2d, grid, bw, sw, sc, 3
+    )
+    y = f_sg(x2d, bw, sw, sc)
+    assert y is not None
+    assert np.abs(np.asarray(y - ref(x2d, bw, sw, sc))).max() < 1e-5
+    gp = jax.grad(lambda a: (f_sg(*a) * g).sum())((x2d, bw, sw, sc))
+    gr = jax.grad(lambda a: (ref(*a) * g).sum())((x2d, bw, sw, sc))
+    for a_, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
+
+    # cheby through the same tier
+    cc = jax.random.normal(k5, (h, dh, out, 5)) * 0.1
+
+    def ref_c(x2d, cc):
+        return jnp.concatenate([
+            K.chebykan_forward(x2d[:, i * dh : (i + 1) * dh], cc[i])
+            for i in range(h)
+        ], axis=1)
+
+    yc = FB.cheby_qkv_grouped(x2d, cc)
+    assert yc is not None
+    assert np.abs(np.asarray(yc - ref_c(x2d, cc))).max() < 1e-5
+    gp = jax.grad(lambda a: (FB.cheby_qkv_grouped(*a) * g).sum())((x2d, cc))
+    gr = jax.grad(lambda a: (ref_c(*a) * g).sum())((x2d, cc))
+    for a_, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
+
+
+def test_grouped_qkv_msa_wiring(monkeypatch):
+    """MSA with the slot-grouped qkv path (KANVIT_QKV_SG=1, default) must be
+    value- and grad-equal to the vmapped per-head path (=0): validates the
+    weight concat order, lane slicing, and output head layout end-to-end."""
+    from kanvit.layers.attention import MSA
+
+    key = jax.random.PRNGKey(41)
+    xb = jnp.tanh(jax.random.normal(key, (2, 6, 256)))
+    msa = MSA(d=256, n_heads=8, type="cheby")
+    params = msa.init(jax.random.PRNGKey(42), xb)
+
+    def loss(p, xb):
+        return (msa.apply(p, xb) ** 2).sum()
+
+    monkeypatch.setenv("KANVIT_QKV_SG", "0")
+    y0 = msa.apply(params, xb)
+    g0 = jax.grad(loss)(params, xb)
+    monkeypatch.setenv("KANVIT_QKV_SG", "1")
+    y1 = msa.apply(params, xb)
+    g1 = jax.grad(loss)(params, xb)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-3
+
+
 @pytest.mark.slow  # full MSA fwd+bwd through interpret-mode kernels: ~150s
 def test_sine_qkv_hatch_parity(x, monkeypatch):
     """KANVIT_SINE_QKV=1 (block-diagonal fused q/k/v launch, off by default
