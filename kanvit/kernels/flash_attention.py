@@ -467,6 +467,191 @@ def _small_bwd_impl(q, k, v, mask, o, do, causal):
     return dq, dk, dv, dmask
 
 
+# --- lanes-layout small path (heads live in the lane dim) -------------------
+#
+# Consumes q/k/v as (B, T, H*dh) with head h at lanes [h*dh, (h+1)*dh) — the
+# layout the slot-grouped qkv kernels emit and the head-concat output layout
+# the rest of the block consumes — so an MSA block runs with ZERO head
+# split/merge relayouts. XLA cannot fuse the (B,T,H,dh)->(B,H,T,dh)
+# transposes into the attention when a custom call sits on either side, and
+# even its own fused attention leaves them as physical HBM passes (measured
+# ~4.7 ms/block of glue at ViT-S, tools/tpu_probe_qkv_parts.py); here the
+# per-head views are in-kernel static lane slices (a register relayout per
+# vreg, no HBM traffic). Same math as the (B, H, T, dh) single-tile path.
+
+def _lanes_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                      *, scale, tk, causal, h, tp, dh):
+    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
+    qall, kall, vall = q_ref[0], k_ref[0], v_ref[0]
+    for hi in range(h):
+        sl = slice(hi * dh, (hi + 1) * dh)
+        qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
+        p, l = _small_probs(qs, kall[:, sl], kbias, cbias)
+        pv = jax.lax.dot_general(
+            p.astype(vall.dtype), vall[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (pv * (1.0 / l)).astype(o_ref.dtype)
+
+
+def _lanes_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, tk, causal, h, tp, dh):
+    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
+    qall, kall, vall = q_ref[0], k_ref[0], v_ref[0]
+    doall, oall = do_ref[0], o_ref[0]
+    for hi in range(h):
+        sl = slice(hi * dh, (hi + 1) * dh)
+        k, v = kall[:, sl], vall[:, sl]
+        do, o = doall[:, sl], oall[:, sl]
+        qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
+        p, l = _small_probs(qs, k, kbias, cbias)
+        pn = p * (1.0 / l)
+        dv_ref[0, :, sl] = jax.lax.dot_general(
+            pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dsc = (pn * (dp - delta)).astype(k.dtype)
+        dq_ref[0, :, sl] = (
+            jax.lax.dot_general(
+                dsc, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = jax.lax.dot_general(
+            dsc, qs, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _lanes_ok(t, tk, dm, h, itemsize):
+    if t != tk or dm % h:
+        return False
+    dh = dm // h
+    tp = _round_up(t, 8)
+    vmem = 2 * 8 * tp * _round_up(dm, LANE) * itemsize + 4 * tp * tp * 4
+    return dh % 8 == 0 and tp <= SMALL_MAX_T and vmem <= 10 * 1024 * 1024
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_lanes(q, k, v, mask, h, causal):
+    return _lanes_fwd_impl(q, k, v, mask, h, causal)
+
+
+# No T padding anywhere on this path: a block dim EQUAL to the array dim is
+# legal for any size (Mosaic masks the ragged registers internally), so the
+# kernels run T=197 directly — padding to a lane multiple would cost a full
+# HBM pass per operand (4 fwd + 5 bwd) to buy nothing.
+
+def _lanes_fwd_impl(q, k, v, mask, h, causal):
+    b, t, dm = q.shape
+    maskf = _mask3(mask, b, t, t)
+    blk = lambda: pl.BlockSpec(
+        (1, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _lanes_fwd_kernel, scale=(dm // h) ** -0.5, tk=t, causal=causal,
+            h=h, tp=t, dh=dm // h,
+        ),
+        grid=(b,),
+        in_specs=[
+            blk(), blk(), blk(),
+            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk(),
+        out_shape=jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(q, k, v, maskf)
+
+
+def _lanes_fwd(q, k, v, mask, h, causal):
+    o = _lanes_fwd_impl(q, k, v, mask, h, causal)
+    return o, (q, k, v, mask, o)
+
+
+def _lanes_bwd(h, causal, res, do):
+    q, k, v, mask, o = res
+    b, t, dm = q.shape
+    maskf = _mask3(mask, b, t, t)
+    blk = lambda: pl.BlockSpec(
+        (1, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _lanes_bwd_kernel, scale=(dm // h) ** -0.5, tk=t, causal=causal,
+            h=h, tp=t, dh=dm // h,
+        ),
+        grid=(b,),
+        in_specs=[
+            blk(), blk(), blk(), blk(), blk(),
+            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[blk(), blk(), blk()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, dm), q.dtype),
+            jax.ShapeDtypeStruct((b, t, dm), k.dtype),
+            jax.ShapeDtypeStruct((b, t, dm), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(q, k, v, do, o, maskf)
+    dmask = None if mask is None else jnp.zeros_like(mask, dtype=jnp.float32)
+    return dq, dk, dv, dmask
+
+
+_flash_lanes.defvjp(_lanes_fwd, _lanes_bwd)
+
+
+def flash_attention_lanes(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    n_heads: int,
+    causal: bool = False,
+    mask: jnp.ndarray | None = None,
+    q_block: int | None = None,
+    k_block: int | None = None,
+) -> jnp.ndarray | None:
+    """Attention over head-concatenated ``(B, T, H*dh)`` tensors.
+
+    Returns the output in the same layout, or ``None`` when the
+    lanes-layout single-tile path does not apply (caller falls back to the
+    ``(B, H, T, dh)`` entry). Engages below ``MIN_PALLAS_SEQ`` too: its win
+    is the removed relayouts, not the attention math itself.
+    ``KANVIT_ATTN_LANES=0`` is the A/B hatch."""
+    import os
+
+    if os.environ.get("KANVIT_ATTN_LANES", "1") != "1":
+        return None
+    if not dispatch.use_pallas():
+        return None
+    b, t, dm = q.shape
+    if not _lanes_ok(t, k.shape[1], dm, n_heads, q.dtype.itemsize):
+        return None
+    # Mirror _use_small's bucket guard: explicit small buckets mean the
+    # caller wants the general blocked kernels exercised.
+    tp = _round_up(t, LANE)
+    if (q_block is not None and tp > q_block) or (
+        k_block is not None and tp > k_block
+    ):
+        return None
+    return _flash_lanes(q, k, v, mask, n_heads, causal)
+
+
 def _plan(tq, tk, d, q_block, k_block):
     bq = min(_round_up(q_block, LANE), _round_up(tq, LANE))
     bk = min(_round_up(k_block, LANE), _round_up(tk, LANE))

@@ -256,6 +256,29 @@ def sine_family(grid_size: int) -> Family:
     return Family(grid_size, setup, basis, basis_grad, lazy=True)
 
 
+def sine_family_rows(grid_size: int) -> Family:
+    """Sine family with PER-SLOT trainable freq (the slot-grouped qkv
+    kernels, where slots are attention heads and each head trains its own
+    freq — reference sinekan.py:65-70): freq and phase ride as
+    ``(ng, q*nin)`` VMEM row tables with slot r's scalars tiled across its
+    lane segment, so one ``x * freq[gi] + phase[gi]`` covers all slots."""
+
+    def setup(x, freq_ref, phase_ref):
+        return {"x": x, "freq": freq_ref, "phase": phase_ref}
+
+    def _arg(ctx, gi):
+        return ctx["x"] * ctx["freq"][gi, :] + ctx["phase"][gi, :]
+
+    def basis(ctx, gi):
+        return jnp.sin(_arg(ctx, gi))
+
+    def basis_grad(ctx, gi):
+        a = _arg(ctx, gi)
+        return jnp.sin(a), ctx["freq"][gi, :] * jnp.cos(a)
+
+    return Family(grid_size, setup, basis, basis_grad, lazy=True)
+
+
 def rbf_family(num_grids: int, denominator: float) -> Family:
     # extras: grid (1, ng) in SMEM.
     def setup(x, grid_ref):
@@ -1257,6 +1280,188 @@ def cheby_qkv_grouped(x2d, cc):
         return None
     w_sg = cc.transpose(0, 3, 1, 2).reshape(h * deg1 * dh, out)
     return _cheby_op_sg(x2d, w_sg, deg1 - 1, dh, q)
+
+
+# --- slot-grouped SineKAN projection (heads as slots, in-kernel dfreq) ------
+#
+# Sine's basis depends on per-head trainable freq (reference
+# sinekan.py:65-70), so q/k/v cannot share one expansion — but like fast,
+# each PROJECTION runs as one slot-grouped launch over all heads straight
+# off the (B*T, H*dh) activation: freq/phase ride as (ng, q*dh) row tables
+# (sine_family_rows), the forward is the generic sg template, and the
+# backward is a dedicated kernel that accumulates dfreq rows in VMEM
+# alongside dx/dw (the XLA dfreq expression materializes two (N, in, ng)
+# f32 temps per projection — the reason the plain tier grew in-kernel
+# dfreq, _bwd_kernel_sine).
+
+def _bwd_kernel_sine_sg(x_ref, w_ref, g_ref, freq_ref, phase_ref,
+                        dx_ref, dw_ref, dfreq_ref,
+                        basis_scr, dw_acc, df_acc, *, nin, ng, qslots):
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        df_acc[:] = jnp.zeros_like(df_acc)
+
+    f = ng * nin
+    out = w_ref.shape[1]
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    w = w_ref[:].astype(gout.dtype)
+    gws = [
+        jax.lax.dot_general(
+            gout[:, r * out : (r + 1) * out], w[r * f : (r + 1) * f],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (bn, f) f32
+        for r in range(qslots)
+    ]
+    dx = jnp.zeros((x.shape[0], qslots * nin), jnp.float32)
+    dfrows = []
+    for gi in range(ng):
+        fr = freq_ref[gi, :]
+        a = x * fr + phase_ref[gi, :]
+        c = jnp.cos(a)
+        sd = jnp.sin(a).astype(basis_scr.dtype)
+        # Full-width (bn, q*nin) gW row for slice gi: slot segments stitched
+        # so dx / dfreq vectorize across slots.
+        gwg = jnp.concatenate(
+            [gws[r][:, gi * nin : (gi + 1) * nin] for r in range(qslots)],
+            axis=1,
+        ) if qslots > 1 else gws[0][:, gi * nin : (gi + 1) * nin]
+        for r in range(qslots):
+            basis_scr[:, r * f + gi * nin : r * f + (gi + 1) * nin] = (
+                sd[:, r * nin : (r + 1) * nin]
+            )
+        dx += gwg * (fr * c)
+        dfrows.append(jnp.sum(gwg * x * c, axis=0, keepdims=True))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    df_acc[:] += (dfrows[0] if ng == 1
+                  else jnp.concatenate(dfrows, axis=0))
+    for r in range(qslots):
+        dw_acc[r * f : (r + 1) * f, :] += jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f],
+            gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        dfreq_ref[:] = df_acc[:].astype(dfreq_ref.dtype)
+
+
+def _sine_sg_bn(nin, out, ng, x2d, w_sg, qslots, with_dw):
+    db = jnp.dtype(_dot_dtype(x2d, w_sg)).itemsize
+    xb = x2d.dtype.itemsize
+    n_io = 4 if with_dw else 2
+    stream = n_io * (_round_up(qslots * nin, 128) * xb
+                     + _round_up(qslots * out, 128) * xb)
+    # n_temps: the bwd's live f32 row set (x, a, c, gwg, dx, fr*c product,
+    # x*c product + scheduling headroom) — wider than the generic families'.
+    return _pick_row_block(
+        nin, out, ng, n_temps=(10 if with_dw else 4),
+        w_bytes=w_sg.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
+        stream_bytes=stream, per_g=False, pack=qslots, slot_w=True,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _sine_op_sg(x2d, w_sg, freqrow, phaserow, ng, nin, qslots):
+    fam = sine_family_rows(ng)
+    spec = lambda: pl.BlockSpec(
+        (ng, qslots * nin), lambda hp, i: (0, hp), memory_space=pltpu.VMEM
+    )
+    return _fused_fwd_sg(x2d, w_sg, (freqrow, phaserow), (spec(), spec()),
+                         fam, nin, qslots)
+
+
+def _sine_op_sg_fwd(x2d, w_sg, freqrow, phaserow, ng, nin, qslots):
+    y = _sine_op_sg(x2d, w_sg, freqrow, phaserow, ng, nin, qslots)
+    return y, (x2d, w_sg, freqrow, phaserow)
+
+
+def _sine_op_sg_bwd(ng, nin, qslots, res, g):
+    x2d, w_sg, freqrow, phaserow = res
+    n, d_all = x2d.shape
+    groups = d_all // nin
+    f = ng * nin
+    out = w_sg.shape[1]
+    bn = min(_sine_sg_bn(nin, out, ng, x2d, w_sg, qslots, True),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    rows = lambda: pl.BlockSpec((ng, qslots * nin), lambda hp, i: (0, hp),
+                                memory_space=pltpu.VMEM)
+    dx, dw, dfreq = pl.pallas_call(
+        functools.partial(_bwd_kernel_sine_sg, nin=nin, ng=ng, qslots=qslots),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            rows(), rows(),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            rows(),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, d_all), x2d.dtype),
+            jax.ShapeDtypeStruct((groups * f, out), w_sg.dtype),
+            jax.ShapeDtypeStruct((ng, d_all), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, qslots * f), _dot_dtype(x2d, w_sg)),
+            pltpu.VMEM((qslots * f, out), jnp.float32),
+            pltpu.VMEM((ng, qslots * nin), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w_sg, gp, freqrow, phaserow)
+    return dx[:n], dw, dfreq.astype(freqrow.dtype), jnp.zeros_like(phaserow)
+
+
+_sine_op_sg.defvjp(_sine_op_sg_fwd, _sine_op_sg_bwd)
+
+
+def sinekan_qkv_grouped(x2d, freq, phase, amplitudes, bias):
+    """Grouped-head SineKAN projection (one of q/k/v).
+
+    ``x2d (N, H*dh)`` head-sliced activation; ``freq (H, ng)`` per-head
+    trainable harmonics; ``phase (dh, ng)`` the deterministic damped table
+    (identical across heads, reference sinekan.py:59-75);
+    ``amplitudes (H, out, dh, ng)``; ``bias (H, out)`` or None. Returns
+    ``y (N, H*out)``, or None when the slot grouping or VMEM model says the
+    shape cannot run here. dfreq flows back through the (differentiable)
+    row-table construction; dphase is discarded (buffer, not a param)."""
+    h, out, dh, ng = amplitudes.shape
+    q = _sg_slots(h, dh)
+    if q is None or not _should_fuse(x2d.shape[0], dh * ng, nin=dh):
+        return None
+    w_probe = jnp.zeros((1, 1), amplitudes.dtype)
+    if min(_sine_sg_bn(dh, out, ng, x2d, w_probe, q, False),
+           _sine_sg_bn(dh, out, ng, x2d, w_probe, q, True)) < 32:
+        return None
+    w_sg = amplitudes.transpose(0, 3, 2, 1).reshape(h * ng * dh, out)
+    freqrow = jnp.repeat(
+        freq.T[:, :, None].astype(jnp.float32), dh, axis=2
+    ).reshape(ng, h * dh)
+    phaserow = jnp.tile(phase.T.astype(jnp.float32), (1, h))
+    y = _sine_op_sg(x2d, w_sg, freqrow, phaserow, ng, dh, q)
+    if bias is not None:
+        y = y + bias.reshape(1, h * out)
+    return y
 
 
 # --- sine plain tier with in-kernel dfreq ----------------------------------
@@ -2389,6 +2594,292 @@ def _rbf_ln_base_op_bwd(num_grids, denominator, seg, res, g):
 
 
 _rbf_ln_base_op.defvjp(_rbf_ln_base_op_fwd, _rbf_ln_base_op_bwd)
+
+
+# --- slot-grouped FastKAN projection (heads as slots) ------------------------
+#
+# The fast MSA analogue of the slot-grouped qkv tier: q/k/v cannot share a
+# basis (each projection applies its own LN affine before the RBF,
+# fastkan.py:66-70), but each PROJECTION can still run as one kernel over
+# all heads straight off the (B*T, H*dh) activation — per-head LN rides the
+# existing segment mechanism (seg = dh), per-head weights ride sublane-
+# stacked slot weights with slice dots (which also replaces the vmapped
+# path's block-diagonal packed weight, halving the dot MACs).
+
+def _rbf_ln_fwd_kernel_sg(xr_ref, w_ref, gam_ref, bet_ref, grid_ref, y_ref,
+                          basis_scr, ln_scr, *, ng, denominator, seg, qslots):
+    f = (ng + 1) * seg
+    out = w_ref.shape[1]
+    xr = xr_ref[:].astype(jnp.float32)
+    _seg_ln_into(xr, gam_ref[:].astype(jnp.float32),
+                 bet_ref[:].astype(jnp.float32), seg, ln_scr, None)
+    ln = ln_scr[:]
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        b = jnp.exp(-u * u).astype(basis_scr.dtype)
+        for r in range(qslots):
+            basis_scr[:, r * f + gi * seg : r * f + (gi + 1) * seg] = (
+                b[:, r * seg : (r + 1) * seg]
+            )
+    s = (xr * jax.nn.sigmoid(xr)).astype(basis_scr.dtype)
+    for r in range(qslots):
+        basis_scr[:, r * f + ng * seg : (r + 1) * f] = (
+            s[:, r * seg : (r + 1) * seg]
+        )
+    w = w_ref[:].astype(basis_scr.dtype)
+    for r in range(qslots):
+        y_ref[:, r * out : (r + 1) * out] = jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f], w[r * f : (r + 1) * f],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).astype(y_ref.dtype)
+
+
+def _rbf_ln_bwd_kernel_sg(xr_ref, w_ref, g_ref, gam_ref, bet_ref, grid_ref,
+                          dx_ref, dw_ref, dgam_ref, dbet_ref,
+                          basis_scr, ln_scr, xhat_scr, dw_acc, dgb_acc,
+                          *, ng, denominator, seg, qslots):
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:] = jnp.zeros_like(dw_acc)
+        dgb_acc[:] = jnp.zeros_like(dgb_acc)
+
+    f = (ng + 1) * seg
+    out = w_ref.shape[1]
+    xr = xr_ref[:].astype(jnp.float32)
+    gam = gam_ref[:].astype(jnp.float32)
+    rstds = _seg_ln_into(xr, gam, bet_ref[:].astype(jnp.float32), seg,
+                         ln_scr, xhat_scr)
+    ln = ln_scr[:]
+    xhat = xhat_scr[:]
+    gout = g_ref[:]
+    w = w_ref[:].astype(gout.dtype)
+    gws = [
+        jax.lax.dot_general(
+            gout[:, r * out : (r + 1) * out], w[r * f : (r + 1) * f],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (bn, f) f32
+        for r in range(qslots)
+    ]
+    dlns = [jnp.zeros((xr.shape[0], seg), jnp.float32) for _ in range(qslots)]
+    for gi in range(ng):
+        u = (ln - grid_ref[0, gi]) / denominator
+        b = jnp.exp(-u * u)
+        coef = (-2.0 / denominator) * u * b
+        bd = b.astype(basis_scr.dtype)
+        for r in range(qslots):
+            basis_scr[:, r * f + gi * seg : r * f + (gi + 1) * seg] = (
+                bd[:, r * seg : (r + 1) * seg]
+            )
+            dlns[r] += (gws[r][:, gi * seg : (gi + 1) * seg]
+                        * coef[:, r * seg : (r + 1) * seg])
+    sig = jax.nn.sigmoid(xr)
+    s = xr * sig
+    dsilu = sig + s * (1.0 - sig)
+    sd = s.astype(basis_scr.dtype)
+    for r in range(qslots):
+        basis_scr[:, r * f + ng * seg : (r + 1) * f] = (
+            sd[:, r * seg : (r + 1) * seg]
+        )
+    dln = (dlns[0] if qslots == 1
+           else jnp.concatenate(dlns, axis=1))  # (bn, qslots*seg)
+
+    # LN VJP (padded tail rows carry zero cotangents).
+    dgb_acc[0:1, :] += jnp.sum(dln * xhat, axis=0, keepdims=True)
+    dgb_acc[1:2, :] += jnp.sum(dln, axis=0, keepdims=True)
+    gxh = dln * gam
+    for r in range(qslots):
+        sl = slice(r * seg, (r + 1) * seg)
+        gs = gxh[:, sl]
+        xh = xhat[:, sl]
+        m1 = jnp.mean(gs, axis=1, keepdims=True)
+        m2 = jnp.mean(gs * xh, axis=1, keepdims=True)
+        dx_silu = gws[r][:, ng * seg :] * dsilu[:, sl]
+        dx_ref[:, sl] = (
+            rstds[r] * (gs - m1 - xh * m2) + dx_silu
+        ).astype(dx_ref.dtype)
+
+    for r in range(qslots):
+        dw_acc[r * f : (r + 1) * f, :] += jax.lax.dot_general(
+            basis_scr[:, r * f : (r + 1) * f],
+            gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == n_i - 1)
+    def _finish():
+        dw_ref[:] = dw_acc[:].astype(dw_ref.dtype)
+        dgam_ref[:] = dgb_acc[0:1, :].astype(dgam_ref.dtype)
+        dbet_ref[:] = dgb_acc[1:2, :].astype(dbet_ref.dtype)
+
+
+def _rbf_ln_sg_bn(seg, ng1, out, x2d, w_sg, qslots, with_dw):
+    db = jnp.dtype(_dot_dtype(x2d, w_sg)).itemsize
+    xb = x2d.dtype.itemsize
+    stream = 2 * (
+        (2 if with_dw else 1) * _round_up(qslots * seg, 128) * xb
+        + _round_up(qslots * out, 128) * xb
+    )
+    # n_temps is calibrated against Mosaic's measured stack allocation at the
+    # ViT-S fast qkv shape (seg=64, ng=8, qslots=6): the bwd's live f32 set
+    # (xr/ln/xhat/gxh/sig/s/dsilu/u/b/coef/dln + per-slot dlns and the
+    # scheduler's double buffers) costs ~20 (bn, q*seg) tiles — the first
+    # model (6) compiled to 17.2M scoped vmem against the 16M limit.
+    return _pick_row_block(
+        seg, out, ng1, n_temps=(20 if with_dw else 8),
+        w_bytes=w_sg.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
+        stream_bytes=stream, per_g=False, pack=qslots, slot_w=True,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
+                  seg, qslots):
+    n, d_all = xr2d.shape
+    groups = d_all // seg
+    f = (num_grids + 1) * seg
+    out = w_sg.shape[1]
+    bn = min(_rbf_ln_sg_bn(seg, num_grids + 1, out, xr2d, w_sg, qslots,
+                           False),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    y = pl.pallas_call(
+        functools.partial(
+            _rbf_ln_fwd_kernel_sg, ng=num_grids, denominator=denominator,
+            seg=seg, qslots=qslots,
+        ),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qslots * seg), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, groups * out), xr2d.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bn, qslots * f), _dot_dtype(xr2d, w_sg)),
+            pltpu.VMEM((bn, qslots * seg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xrp, w_sg, gam2d, bet2d, grid2d)
+    return y[:n]
+
+
+def _rbf_ln_sg_op_fwd(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids,
+                      denominator, seg, qslots):
+    return (
+        _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids,
+                      denominator, seg, qslots),
+        (xr2d, gam2d, bet2d, w_sg, grid2d),
+    )
+
+
+def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
+    xr2d, gam2d, bet2d, w_sg, grid2d = res
+    n, d_all = xr2d.shape
+    groups = d_all // seg
+    f = (num_grids + 1) * seg
+    out = w_sg.shape[1]
+    bn = min(_rbf_ln_sg_bn(seg, num_grids + 1, out, xr2d, w_sg, qslots,
+                           True),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    dx, dw, dgam, dbet = pl.pallas_call(
+        functools.partial(
+            _rbf_ln_bwd_kernel_sg, ng=num_grids, denominator=denominator,
+            seg=seg, qslots=qslots,
+        ),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qslots * seg), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+            _smem_spec(grid2d),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, qslots * seg), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, d_all), xr2d.dtype),
+            jax.ShapeDtypeStruct((groups * f, out), w_sg.dtype),
+            jax.ShapeDtypeStruct((1, d_all), gam2d.dtype),
+            jax.ShapeDtypeStruct((1, d_all), bet2d.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, qslots * f), _dot_dtype(xr2d, w_sg)),
+            pltpu.VMEM((bn, qslots * seg), jnp.float32),
+            pltpu.VMEM((bn, qslots * seg), jnp.float32),
+            pltpu.VMEM((qslots * f, out), jnp.float32),
+            pltpu.VMEM((2, qslots * seg), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xrp, w_sg, gp, gam2d, bet2d, grid2d)
+    return dx[:n], dgam, dbet, dw, jnp.zeros_like(grid2d)
+
+
+_rbf_ln_sg_op.defvjp(_rbf_ln_sg_op_fwd, _rbf_ln_sg_op_bwd)
+
+
+def fastkan_qkv_grouped(x2d, ln_gamma, ln_beta, rbf_grid, rbf_denominator,
+                        spline_weight, base_weight, base_bias):
+    """Grouped-head FastKAN projection (one of q/k/v).
+
+    ``x2d (N, H*dh)`` head-sliced activation; per-head stacked params:
+    ``ln_gamma/ln_beta (H, dh)``, ``spline_weight (H, out, dh*ng)``,
+    ``base_weight (H, out, dh)``, ``base_bias (H, out)``. Returns
+    ``y (N, H*out)`` (bias included), or None when the slot grouping or
+    VMEM model says the shape cannot run here."""
+    h, out, dh = base_weight.shape
+    ng = rbf_grid.shape[-1]
+    q = _sg_slots(h, dh)
+    if q is None or not _should_fuse(x2d.shape[0], dh * ng, nin=dh):
+        return None
+    w_probe = jnp.zeros((1, 1), spline_weight.dtype)
+    if min(_rbf_ln_sg_bn(dh, ng + 1, out, x2d, w_probe, q, False),
+           _rbf_ln_sg_bn(dh, ng + 1, out, x2d, w_probe, q, True)) < 32:
+        return None
+    # Per head: RBF slices then the silu base slice, flattened slot-major.
+    w3d = spline_weight.reshape(h, out, dh, ng).transpose(0, 3, 2, 1)
+    wb = base_weight.transpose(0, 2, 1)[:, None]  # (H, 1, dh, out)
+    w_sg = jnp.concatenate([w3d, wb], axis=1).reshape(h * (ng + 1) * dh, out)
+    gam2d = ln_gamma.reshape(1, h * dh)
+    bet2d = ln_beta.reshape(1, h * dh)
+    grid2d = rbf_grid.reshape(1, -1)
+    y = _rbf_ln_sg_op(x2d, gam2d, bet2d, w_sg, grid2d, ng,
+                      float(rbf_denominator), dh, q)
+    return y + base_bias.reshape(1, h * out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -64,7 +64,10 @@ def _shared_basis_qkv(kind, x, d_head, pq, pk, pv):
     ``fused_basis.bspline_qkv_grouped``), else via vmap over a materialized
     ``(H, B, T, dh)`` transpose. Mathematically identical to three calls;
     saves 2/3 of the basis work on paths XLA cannot CSE (the Pallas custom
-    calls are opaque to it). Returns ``(q, k, v)`` as ``(B, H, T, dh)``.
+    calls are opaque to it). Returns ``(layout, (q, k, v))`` where layout is
+    ``"lanes"`` (``(B, T, H*dh)``, head h at lanes h*dh:(h+1)*dh — feeds the
+    zero-transpose lanes attention) when the slot-grouped kernels engaged,
+    else ``"heads"`` (``(B, H, T, dh)``).
     """
     import jax
 
@@ -118,12 +121,67 @@ def _shared_basis_qkv(kind, x, d_head, pq, pk, pv):
             y = jax.vmap(FB.chebykan)(xh, cc)
 
     if ysg is not None:
-        # (N, H*3dh) head-major -> (B, H, T, 3dh)
-        yh = ysg.reshape(b, t, n_heads, 3 * d_head).transpose(0, 2, 1, 3)
-    else:
-        yh = jnp.moveaxis(y, 0, 1)  # (H, B, T, 3dh) -> (B, H, T, 3dh)
-    return (yh[..., :d_head], yh[..., d_head : 2 * d_head],
-            yh[..., 2 * d_head :])
+        # (N, H*[q|k|v]) -> three (B, T, H*dh) lanes tensors: a strided
+        # slice + free minor-merge reshape each (no head transpose).
+        y4 = ysg.reshape(b, t, n_heads, 3 * d_head)
+        return "lanes", tuple(
+            y4[..., i * d_head : (i + 1) * d_head].reshape(b, t, d)
+            for i in range(3)
+        )
+    yh = jnp.moveaxis(y, 0, 1)  # (H, B, T, 3dh) -> (B, H, T, 3dh)
+    return "heads", (yh[..., :d_head], yh[..., d_head : 2 * d_head],
+                     yh[..., 2 * d_head :])
+
+
+def _fused_qkv_fast(x, d_head, pq, pk, pv):
+    """Grouped-head FastKAN q/k/v: three slot-grouped launches straight off
+    the (B, T, H*dh) activation (no basis sharing — each projection applies
+    its own LN affine first, reference fastkan.py:66-70; see
+    ``fused_basis.fastkan_qkv_grouped``). Returns (q, k, v) as lanes-layout
+    (B, T, H*dh) tensors, or None when the tier does not apply."""
+    from kanvit.kernels import fused_basis as FB
+
+    if "base_weight" not in pq:  # use_base_update=False configs
+        return None
+    b, t, d = x.shape
+    h = d // d_head
+    x2d = x.reshape(b * t, d)
+    ng = FastKANLayer.num_grids
+    rbf_grid = jnp.linspace(FastKANLayer.grid_min, FastKANLayer.grid_max, ng)
+    den = (FastKANLayer.grid_max - FastKANLayer.grid_min) / (ng - 1)
+    outs = []
+    for p_ in (pq, pk, pv):
+        y = FB.fastkan_qkv_grouped(
+            x2d, p_["ln_weight"], p_["ln_bias"], rbf_grid, den,
+            p_["spline_weight"], p_["base_weight"], p_["base_bias"],
+        )
+        if y is None:
+            return None
+        outs.append(y.reshape(b, t, d))
+    return tuple(outs)
+
+
+def _fused_qkv_sine_grouped(x, d_head, grid_size, pq, pk, pv):
+    """Grouped-head SineKAN q/k/v: three slot-grouped launches straight off
+    the (B, T, H*dh) activation with in-kernel dfreq (no basis sharing —
+    per-projection trainable freq, reference sinekan.py:65-70; see
+    ``fused_basis.sinekan_qkv_grouped``). Returns (q, k, v) as lanes-layout
+    (B, T, H*dh) tensors, or None when the tier does not apply."""
+    from kanvit.kernels import fused_basis as FB
+    from kanvit.ops import kan_bases as K
+
+    b, t, d = x.shape
+    phase = K.sinekan_phase_init(d_head, grid_size)
+    x2d = x.reshape(b * t, d)
+    outs = []
+    for p_ in (pq, pk, pv):
+        y = FB.sinekan_qkv_grouped(
+            x2d, p_["freq"], phase, p_["amplitudes"], p_.get("bias")
+        )
+        if y is None:
+            return None
+        outs.append(y.reshape(b, t, d))
+    return tuple(outs)
 
 
 def _fused_qkv_sine(xh, d_head, grid_size, pq, pk, pv):
@@ -206,14 +264,22 @@ class MSA(nn.Module):
         # hatch, off by default.
         sine_fused = (self.type == "sine"
                       and os.environ.get("KANVIT_SINE_QKV") == "1")
-        fused_path = (shared or sine_fused) and not self.is_initializing() \
-            and not self.stateful_grid
+        # fast/sine cannot share a basis either (per-projection LN affine /
+        # trainable freq), but each projection runs as one slot-grouped
+        # launch over all heads (fastkan_qkv_grouped / sinekan_qkv_grouped);
+        # falls back to the vmapped path when the tier does not apply.
+        sg_on = os.environ.get("KANVIT_QKV_SG", "1") == "1"
+        fast_grouped = self.type == "fast" and sg_on
+        sine_grouped = self.type == "sine" and sg_on
+        fused_path = (shared or sine_fused or fast_grouped or sine_grouped) \
+            and not self.is_initializing() and not self.stateful_grid
         # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh].
         # Only materialized on the paths that need the per-head layout —
         # the shared-basis path reads head lanes in place.
         def head_major():
             return jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
 
+        layout = "heads"
         if not fused_path:
             xh = head_major()
             q, k, v = qm(xh), km(xh), vm(xh)
@@ -224,17 +290,51 @@ class MSA(nn.Module):
             pq, pk, pv = (self.scope.get_variable("params", n)
                           for n in ("q_mappings", "k_mappings", "v_mappings"))
             if shared:
-                # returns (B, H, T, dh) directly
-                q, k, v = _shared_basis_qkv(self.type, x, d_head, pq, pk, pv)
+                layout, (q, k, v) = _shared_basis_qkv(
+                    self.type, x, d_head, pq, pk, pv
+                )
+            elif fast_grouped:
+                res = _fused_qkv_fast(x, d_head, pq, pk, pv)
+                if res is None:  # tier not applicable at this shape
+                    xh = head_major()
+                    q, k, v = qm(xh), km(xh), vm(xh)
+                    q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+                else:
+                    layout, (q, k, v) = "lanes", res
             else:
-                q, k, v = _fused_qkv_sine(head_major(), d_head, 4, pq, pk, pv)
-                q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+                res = (_fused_qkv_sine_grouped(x, d_head, 4, pq, pk, pv)
+                       if sine_grouped else None)
+                if res is not None:
+                    layout, (q, k, v) = "lanes", res
+                elif sine_fused:
+                    q, k, v = _fused_qkv_sine(
+                        head_major(), d_head, 4, pq, pk, pv
+                    )
+                    q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+                else:  # sg tier inapplicable at this shape: vmapped path
+                    xh = head_major()
+                    q, k, v = qm(xh), km(xh), vm(xh)
+                    q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+        from kanvit.kernels.flash_attention import (
+            flash_attention,
+            flash_attention_lanes,
+        )
+
+        if layout == "lanes":
+            # Zero-transpose block: slot-grouped qkv emitted (B, T, H*dh)
+            # and the lanes attention returns the head-concat layout the
+            # next layer consumes directly.
+            out = flash_attention_lanes(q, k, v, self.n_heads)
+            if out is not None:
+                return out
+            q, k, v = (
+                a.reshape(b, t, self.n_heads, d_head).transpose(0, 2, 1, 3)
+                for a in (q, k, v)
+            )
         # The dispatched entry: XLA fused attention below the engage
         # threshold (identical math to multi_head_attention incl. the
         # d**-0.5 scale), the Pallas single-tile/flash kernels above it
         # (KANVIT_ATTN_MIN_SEQ A/Bs the threshold end-to-end).
-        from kanvit.kernels.flash_attention import flash_attention
-
         out = flash_attention(q, k, v)  # (B, H, T, dh)
         # concat heads in order == reshape back
         return jnp.moveaxis(out, 1, 2).reshape(b, t, self.d)
@@ -267,7 +367,10 @@ class FlashAttentionBlock(nn.Module):
         q_bucket_size: Optional[int] = None,
         k_bucket_size: Optional[int] = None,
     ) -> jnp.ndarray:
-        from kanvit.kernels.flash_attention import flash_attention
+        from kanvit.kernels.flash_attention import (
+            flash_attention,
+            flash_attention_lanes,
+        )
 
         qb = q_bucket_size or self.q_bucket_size
         kb = k_bucket_size or self.k_bucket_size
@@ -280,6 +383,17 @@ class FlashAttentionBlock(nn.Module):
 
         b, t, _ = q.shape
         tk = k.shape[1]
+
+        # The projections already emit/consume the head-concat (B, T, H*dh)
+        # layout — at single-tile shapes the lanes kernel runs attention in
+        # place with zero head split/merge relayouts.
+        out_l = None if self.is_initializing() else flash_attention_lanes(
+            q, k, v, self.heads, causal=self.causal, mask=mask,
+            q_block=qb, k_block=kb,
+        )
+        if out_l is not None:
+            return TorchLinear(inner, self.dim, use_bias=False,
+                               name="to_out")(out_l)
 
         def to_heads(a, tt):
             return a.reshape(b, tt, self.heads, self.dim_head).transpose(0, 2, 1, 3)

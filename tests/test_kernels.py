@@ -376,6 +376,140 @@ def test_grouped_qkv_slot_kernels():
         assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
 
 
+def test_lanes_attention_parity():
+    """Lanes-layout single-tile attention ((B, T, H*dh) in and out, heads as
+    lane slices): values + grads vs the reference on the transposed layout,
+    incl. causal and the (B, Tk) key mask; inapplicable shapes return None."""
+    from kanvit.kernels import flash_attention as FA
+
+    b, h, t, dh = 2, 3, 20, 16
+    key = jax.random.PRNGKey(60)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, t, h * dh))
+    k = jax.random.normal(kk, (b, t, h * dh))
+    v = jax.random.normal(kv, (b, t, h * dh))
+    g = jax.random.normal(jax.random.PRNGKey(61), (b, t, h * dh))
+    mask = jnp.array([[True] * 15 + [False] * 5, [True] * 20])
+
+    def ref(q, k, v, causal, m):
+        to_h = lambda a: a.reshape(b, t, h, dh).transpose(0, 2, 1, 3)
+        o = flash_attention_reference(
+            to_h(q), to_h(k), to_h(v), causal, 512, 1024, mask=m
+        )[0]
+        return o.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+    for causal, m in ((False, None), (True, None), (False, mask)):
+        f_l = lambda q, k, v: FA.flash_attention_lanes(
+            q, k, v, h, causal=causal, mask=m
+        )
+        o = f_l(q, k, v)
+        assert o is not None
+        assert np.abs(np.asarray(o - ref(q, k, v, causal, m))).max() < 1e-5
+        gp = jax.grad(
+            lambda a: (f_l(*a) * g).sum()
+        )((q, k, v))
+        gr = jax.grad(
+            lambda a: (ref(*a, causal, m) * g).sum()
+        )((q, k, v))
+        for a_, b_ in zip(gp, gr):
+            assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
+
+    # Guards: head dim not sublane-aligned, cross-attention (tq != tk),
+    # explicit small buckets, and the env hatch all decline the path.
+    assert FA.flash_attention_lanes(q[..., : h * 12], k[..., : h * 12],
+                                    v[..., : h * 12], h) is None
+    assert FA.flash_attention_lanes(q, k[:, :10], v[:, :10], h) is None
+    assert FA.flash_attention_lanes(q, k, v, h, q_block=16) is None
+    import os
+
+    os.environ["KANVIT_ATTN_LANES"] = "0"
+    try:
+        assert FA.flash_attention_lanes(q, k, v, h) is None
+    finally:
+        os.environ["KANVIT_ATTN_LANES"] = "1"
+
+
+def test_grouped_fastkan_projection():
+    """Slot-grouped FastKAN projection (per-head LN segments + slot slice
+    dots): values + full VJP (incl. dgamma/dbeta) vs the per-head jnp
+    ground truth."""
+    from kanvit.kernels import fused_basis as FB
+
+    n, h, dh, ng = 24, 8, 32, 8
+    out, d = dh, h * dh
+    key = jax.random.PRNGKey(50)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    x2d = jax.random.normal(k1, (n, d))
+    gam = 1.0 + 0.1 * jax.random.normal(k2, (h, dh))
+    bet = 0.1 * jax.random.normal(k3, (h, dh))
+    sw = jax.random.normal(k4, (h, out, dh * ng)) * 0.1
+    bw = jax.random.normal(k5, (h, out, dh)) * 0.1
+    bb = jax.random.normal(k6, (h, out)) * 0.1
+    grid = jnp.linspace(-2.0, 2.0, ng)
+    den = 4.0 / (ng - 1)
+    g = jax.random.normal(jax.random.PRNGKey(51), (n, h * out)) * 0.5
+
+    def ref(x2d, gam, bet, sw, bw, bb):
+        return jnp.concatenate([
+            K.fastkan_forward(
+                x2d[:, i * dh : (i + 1) * dh], gam[i], bet[i], grid, den,
+                sw[i], bw[i], bb[i],
+            )
+            for i in range(h)
+        ], axis=1)
+
+    f_sg = lambda x2d, gam, bet, sw, bw, bb: FB.fastkan_qkv_grouped(
+        x2d, gam, bet, grid, den, sw, bw, bb
+    )
+    y = f_sg(x2d, gam, bet, sw, bw, bb)
+    assert y is not None
+    assert np.abs(np.asarray(y - ref(x2d, gam, bet, sw, bw, bb))).max() < 1e-5
+    args = (x2d, gam, bet, sw, bw, bb)
+    gp = jax.grad(lambda a: (f_sg(*a) * g).sum())(args)
+    gr = jax.grad(lambda a: (ref(*a) * g).sum())(args)
+    for a_, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
+
+
+def test_grouped_sinekan_projection():
+    """Slot-grouped SineKAN projection (per-slot freq rows + in-kernel
+    dfreq): values + full VJP (incl. dfreq) vs the per-head jnp ground
+    truth."""
+    from kanvit.kernels import fused_basis as FB
+
+    n, h, dh, ng = 24, 4, 32, 4
+    out, d = dh, h * dh
+    key = jax.random.PRNGKey(70)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    x2d = jax.random.normal(k1, (n, d))
+    freq = 0.5 + jax.random.uniform(k2, (h, ng))
+    amps = jax.random.normal(k3, (h, out, dh, ng)) * 0.1
+    bias = jax.random.normal(k4, (h, out)) * 0.1
+    phase = K.sinekan_phase_init(dh, ng)
+    g = jax.random.normal(jax.random.PRNGKey(71), (n, h * out)) * 0.5
+
+    def ref(x2d, freq, amps, bias):
+        return jnp.concatenate([
+            K.sinekan_forward(
+                x2d[:, i * dh : (i + 1) * dh], freq[i], phase, amps[i],
+                bias[i],
+            )
+            for i in range(h)
+        ], axis=1)
+
+    f_sg = lambda x2d, freq, amps, bias: FB.sinekan_qkv_grouped(
+        x2d, freq, phase, amps, bias
+    )
+    y = f_sg(x2d, freq, amps, bias)
+    assert y is not None
+    assert np.abs(np.asarray(y - ref(x2d, freq, amps, bias))).max() < 1e-5
+    args = (x2d, freq, amps, bias)
+    gp = jax.grad(lambda a: (f_sg(*a) * g).sum())(args)
+    gr = jax.grad(lambda a: (ref(*a) * g).sum())(args)
+    for a_, b_ in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
+
+
 def test_grouped_qkv_msa_wiring(monkeypatch):
     """MSA with the slot-grouped qkv path (KANVIT_QKV_SG=1, default) must be
     value- and grad-equal to the vmapped per-head path (=0): validates the
@@ -384,21 +518,22 @@ def test_grouped_qkv_msa_wiring(monkeypatch):
 
     key = jax.random.PRNGKey(41)
     xb = jnp.tanh(jax.random.normal(key, (2, 6, 256)))
-    msa = MSA(d=256, n_heads=8, type="cheby")
-    params = msa.init(jax.random.PRNGKey(42), xb)
+    for kind in ("cheby", "fast", "sine"):
+        msa = MSA(d=256, n_heads=8, type=kind)
+        params = msa.init(jax.random.PRNGKey(42), xb)
 
-    def loss(p, xb):
-        return (msa.apply(p, xb) ** 2).sum()
+        def loss(p, xb):
+            return (msa.apply(p, xb) ** 2).sum()
 
-    monkeypatch.setenv("KANVIT_QKV_SG", "0")
-    y0 = msa.apply(params, xb)
-    g0 = jax.grad(loss)(params, xb)
-    monkeypatch.setenv("KANVIT_QKV_SG", "1")
-    y1 = msa.apply(params, xb)
-    g1 = jax.grad(loss)(params, xb)
-    assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        assert np.abs(np.asarray(a - b)).max() < 1e-3
+        monkeypatch.setenv("KANVIT_QKV_SG", "0")
+        y0 = msa.apply(params, xb)
+        g0 = jax.grad(loss)(params, xb)
+        monkeypatch.setenv("KANVIT_QKV_SG", "1")
+        y1 = msa.apply(params, xb)
+        g1 = jax.grad(loss)(params, xb)
+        assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
 @pytest.mark.slow  # full MSA fwd+bwd through interpret-mode kernels: ~150s
