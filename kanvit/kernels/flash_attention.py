@@ -616,6 +616,20 @@ def _lanes_bwd(h, causal, res, do):
 _flash_lanes.defvjp(_lanes_fwd, _lanes_bwd)
 
 
+def lanes_applicable(t: int, tk: int, dm: int, n_heads: int,
+                     itemsize: int) -> bool:
+    """True when ``flash_attention_lanes`` would engage for this shape —
+    callers that must CHOOSE a qkv layout before computing it (e.g. the
+    block-diagonal Linear qkv in MSA) test this predicate first."""
+    import os
+
+    if os.environ.get("KANVIT_ATTN_LANES", "1") != "1":
+        return False
+    if not dispatch.use_pallas():
+        return False
+    return _lanes_ok(t, tk, dm, n_heads, itemsize)
+
+
 def flash_attention_lanes(
     q: jnp.ndarray,
     k: jnp.ndarray,

@@ -161,6 +161,31 @@ def _fused_qkv_fast(x, d_head, pq, pk, pv):
     return tuple(outs)
 
 
+def _fused_qkv_linear_bd(x, d_head, pq, pk, pv):
+    """Head-stacked Linear q/k/v as ONE dense (D, D) block-diagonal matmul
+    per projection in lanes layout (head h's (dh, dh) weight on the
+    diagonal). The structural-zero MACs are trivial at D=384 while the
+    head-major transposes the vmapped path needs are real HBM passes —
+    only taken when the lanes attention will consume the result (the
+    caller tests ``lanes_applicable`` first). Returns (q, k, v) as
+    (B, T, H*dh)."""
+    import jax
+
+    b, t, d = x.shape
+    h = d // d_head
+    outs = []
+    for p_ in (pq, pk, pv):
+        # weight (H, out, in) torch-convention: block h contributes x_h @ W_h^T.
+        wbd = jax.scipy.linalg.block_diag(
+            *[p_["weight"][i].T for i in range(h)]
+        )
+        y = x @ wbd
+        if "bias" in p_:
+            y = y + p_["bias"].reshape(1, 1, d)
+        outs.append(y)
+    return tuple(outs)
+
+
 def _fused_qkv_sine_grouped(x, d_head, grid_size, pq, pk, pv):
     """Grouped-head SineKAN q/k/v: three slot-grouped launches straight off
     the (B, T, H*dh) activation with in-kernel dfreq (no basis sharing —
@@ -271,7 +296,20 @@ class MSA(nn.Module):
         sg_on = os.environ.get("KANVIT_QKV_SG", "1") == "1"
         fast_grouped = self.type == "fast" and sg_on
         sine_grouped = self.type == "sine" and sg_on
-        fused_path = (shared or sine_fused or fast_grouped or sine_grouped) \
+        # Linear-projection kinds (vanilla/fourier): when the lanes
+        # attention will engage, run qkv as block-diagonal (D, D) matmuls
+        # in lanes layout instead of the vmapped head-major path — the
+        # transposes around XLA's attention are real HBM passes.
+        from kanvit.kernels.flash_attention import lanes_applicable
+
+        linear_bd = (
+            self.type in ("vanilla", "flash-attn", "fourier", "linear")
+            and os.environ.get("KANVIT_QKV_BD", "1") == "1"
+            and lanes_applicable(t, t, self.d, self.n_heads,
+                                 x.dtype.itemsize)
+        )
+        fused_path = (shared or sine_fused or fast_grouped or sine_grouped
+                      or linear_bd) \
             and not self.is_initializing() and not self.stateful_grid
         # (B, T, d) -> (H, B, T, d_head): head h sees x[..., h*dh:(h+1)*dh].
         # Only materialized on the paths that need the per-head layout —
@@ -289,7 +327,10 @@ class MSA(nn.Module):
             # per-head params straight from this module's scope.
             pq, pk, pv = (self.scope.get_variable("params", n)
                           for n in ("q_mappings", "k_mappings", "v_mappings"))
-            if shared:
+            if linear_bd:
+                layout = "lanes"
+                q, k, v = _fused_qkv_linear_bd(x, d_head, pq, pk, pv)
+            elif shared:
                 layout, (q, k, v) = _shared_basis_qkv(
                     self.type, x, d_head, pq, pk, pv
                 )

@@ -518,7 +518,7 @@ def test_grouped_qkv_msa_wiring(monkeypatch):
 
     key = jax.random.PRNGKey(41)
     xb = jnp.tanh(jax.random.normal(key, (2, 6, 256)))
-    for kind in ("cheby", "fast", "sine"):
+    for kind in ("cheby", "fast", "sine", "vanilla"):
         msa = MSA(d=256, n_heads=8, type=kind)
         params = msa.init(jax.random.PRNGKey(42), xb)
 
@@ -526,9 +526,11 @@ def test_grouped_qkv_msa_wiring(monkeypatch):
             return (msa.apply(p, xb) ** 2).sum()
 
         monkeypatch.setenv("KANVIT_QKV_SG", "0")
+        monkeypatch.setenv("KANVIT_QKV_BD", "0")
         y0 = msa.apply(params, xb)
         g0 = jax.grad(loss)(params, xb)
         monkeypatch.setenv("KANVIT_QKV_SG", "1")
+        monkeypatch.setenv("KANVIT_QKV_BD", "1")
         y1 = msa.apply(params, xb)
         g1 = jax.grad(loss)(params, xb)
         assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
