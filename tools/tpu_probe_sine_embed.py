@@ -46,37 +46,47 @@ def main():
     phase = K.sinekan_phase_init(NIN, NG)
     g = jnp.ones((N, OUT), DT)
 
-    f_fwd = jax.jit(lambda x, f, a: FB.sinekan(x, f, phase, a, None))
+    # Every timed fn returns a SCALAR: returning a tensor makes the final
+    # sync transfer it through the tunnel inside the timed window
+    # (docs/PERFORMANCE.md measurement-integrity notes).
+    def sc(t):
+        return jnp.sum(t.astype(jnp.float32))
+
+    f_fwd = jax.jit(lambda x, f, a: sc(FB.sinekan(x, f, phase, a, None)))
     print(f"fwd only:            {timeit(f_fwd, x, freq, amps):8.2f} ms",
           flush=True)
 
     def loss(x, f, a):
         return (FB.sinekan(x, f, phase, a, None) * g).sum()
 
-    f_all = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-    print(f"fwd+bwd (dx,df,dw):  {timeit(f_all, x, freq, amps):8.2f} ms",
+    def gsc(argnums):
+        gfn = jax.grad(loss, argnums=argnums)
+        return jax.jit(lambda x, f, a: sum(sc(t) for t in gfn(x, f, a)))
+
+    print(f"fwd+bwd (dx,df,dw):  {timeit(gsc((0, 1, 2)), x, freq, amps):8.2f} ms",
           flush=True)
-    f_dx = jax.jit(jax.grad(loss, argnums=(0, 1)))
-    print(f"fwd+bwd (dx,df):     {timeit(f_dx, x, freq, amps):8.2f} ms",
+    print(f"fwd+bwd (df,dw) [model]: {timeit(gsc((1, 2)), x, freq, amps):8.2f} ms",
           flush=True)
-    f_dw = jax.jit(jax.grad(loss, argnums=(2,)))
-    print(f"fwd+bwd (dw only):   {timeit(f_dw, x, freq, amps):8.2f} ms",
+    print(f"fwd+bwd (dx,df):     {timeit(gsc((0, 1)), x, freq, amps):8.2f} ms",
+          flush=True)
+    print(f"fwd+bwd (dw only):   {timeit(gsc((2,)), x, freq, amps):8.2f} ms",
           flush=True)
 
     # What the split residual would cost/save: materialize the basis to HBM
     # (bf16) and do dw as one XLA matmul on it.
     def basis_xla(x, f):
         a = (x[:, :, None].astype(jnp.float32) * f.astype(jnp.float32)
-             + phase.T[None].astype(jnp.float32))
-        return jnp.sin(a).astype(DT).reshape(N, NIN * NG)
+             + phase[None].astype(jnp.float32))
+        # (N, in, ng) -> (N, ng, in) flat, matching w3d (ng, in, out)
+        return jnp.sin(a).transpose(0, 2, 1).astype(DT).reshape(N, NIN * NG)
 
-    f_basis = jax.jit(basis_xla)
+    f_basis = jax.jit(lambda x, f: jnp.sum(basis_xla(x, f).astype(jnp.float32)))
     print(f"XLA basis material.: {timeit(f_basis, x, freq):8.2f} ms",
           flush=True)
-    b = f_basis(x, freq)
-    f_dwmm = jax.jit(lambda b, g: jax.lax.dot_general(
+    b = jax.jit(basis_xla)(x, freq)
+    f_dwmm = jax.jit(lambda b, g: jnp.sum(jax.lax.dot_general(
         b, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32))
+        preferred_element_type=jnp.float32)))
     print(f"XLA dw matmul on it: {timeit(f_dwmm, b, g):8.2f} ms", flush=True)
 
 
