@@ -480,54 +480,58 @@ def _small_bwd_impl(q, k, v, mask, o, do, causal):
 # vreg, no HBM traffic). Same math as the (B, H, T, dh) single-tile path.
 
 def _lanes_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
-                      *, scale, tk, causal, h, tp, dh):
-    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
-    qall, kall, vall = q_ref[0], k_ref[0], v_ref[0]
-    for hi in range(h):
-        sl = slice(hi * dh, (hi + 1) * dh)
-        qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
-        p, l = _small_probs(qs, kall[:, sl], kbias, cbias)
-        pv = jax.lax.dot_general(
-            p.astype(vall.dtype), vall[:, sl], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, sl] = (pv * (1.0 / l)).astype(o_ref.dtype)
+                      *, scale, tk, causal, h, tp, dh, nb):
+    for bi in range(nb):
+        kbias, cbias = _small_bias(mask_ref[bi], tk, causal, tp)
+        qall, kall, vall = q_ref[bi], k_ref[bi], v_ref[bi]
+        for hi in range(h):
+            sl = slice(hi * dh, (hi + 1) * dh)
+            qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
+            p, l = _small_probs(qs, kall[:, sl], kbias, cbias)
+            pv = jax.lax.dot_general(
+                p.astype(vall.dtype), vall[:, sl], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[bi, :, sl] = (pv * (1.0 / l)).astype(o_ref.dtype)
 
 
 def _lanes_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, mask_ref,
-                      dq_ref, dk_ref, dv_ref, *, scale, tk, causal, h, tp, dh):
-    kbias, cbias = _small_bias(mask_ref[0], tk, causal, tp)
-    qall, kall, vall = q_ref[0], k_ref[0], v_ref[0]
-    doall, oall = do_ref[0], o_ref[0]
-    for hi in range(h):
-        sl = slice(hi * dh, (hi + 1) * dh)
-        k, v = kall[:, sl], vall[:, sl]
-        do, o = doall[:, sl], oall[:, sl]
-        qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
-        p, l = _small_probs(qs, k, kbias, cbias)
-        pn = p * (1.0 / l)
-        dv_ref[0, :, sl] = jax.lax.dot_general(
-            pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dv_ref.dtype)
-        delta = jnp.sum(
-            do.astype(jnp.float32) * o.astype(jnp.float32),
-            axis=-1, keepdims=True,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dsc = (pn * (dp - delta)).astype(k.dtype)
-        dq_ref[0, :, sl] = (
-            jax.lax.dot_general(
-                dsc, k, (((1,), (0,)), ((), ())),
+                      dq_ref, dk_ref, dv_ref,
+                      *, scale, tk, causal, h, tp, dh, nb):
+    for bi in range(nb):
+        kbias, cbias = _small_bias(mask_ref[bi], tk, causal, tp)
+        qall, kall, vall = q_ref[bi], k_ref[bi], v_ref[bi]
+        doall, oall = do_ref[bi], o_ref[bi]
+        for hi in range(h):
+            sl = slice(hi * dh, (hi + 1) * dh)
+            k, v = kall[:, sl], vall[:, sl]
+            do, o = doall[:, sl], oall[:, sl]
+            qs = qall[:, sl] * jnp.asarray(scale, qall.dtype)
+            p, l = _small_probs(qs, k, kbias, cbias)
+            pn = p * (1.0 / l)
+            dv_ref[bi, :, sl] = jax.lax.dot_general(
+                pn.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * scale
-        ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = jax.lax.dot_general(
-            dsc, qs, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dk_ref.dtype)
+            ).astype(dv_ref.dtype)
+            delta = jnp.sum(
+                do.astype(jnp.float32) * o.astype(jnp.float32),
+                axis=-1, keepdims=True,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsc = (pn * (dp - delta)).astype(k.dtype)
+            dq_ref[bi, :, sl] = (
+                jax.lax.dot_general(
+                    dsc, k, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+            ).astype(dq_ref.dtype)
+            dk_ref[bi, :, sl] = jax.lax.dot_general(
+                dsc, qs, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dk_ref.dtype)
 
 
 def _lanes_ok(t, tk, dm, h, itemsize):
@@ -549,21 +553,30 @@ def _flash_lanes(q, k, v, mask, h, causal):
 # kernels run T=197 directly — padding to a lane multiple would cost a full
 # HBM pass per operand (4 fwd + 5 bwd) to buy nothing.
 
+def _lanes_nb(b, t, dm, itemsize, n_arrays):
+    """Batch items per program. MEASURED NEGATIVE at the ViT-S shape
+    (nb=2 fwd: 2.78 vs 2.35 ms — the kernel is VPU-bound on exp, ~27
+    cycles/elt, and fatter programs only add VMEM pressure), so this
+    stays 1; the kernels keep the nb parameter for future shapes."""
+    return 1
+
+
 def _lanes_fwd_impl(q, k, v, mask, h, causal):
     b, t, dm = q.shape
+    nb = _lanes_nb(b, t, dm, q.dtype.itemsize, 4)
     maskf = _mask3(mask, b, t, t)
     blk = lambda: pl.BlockSpec(
-        (1, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+        (nb, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         functools.partial(
             _lanes_fwd_kernel, scale=(dm // h) ** -0.5, tk=t, causal=causal,
-            h=h, tp=t, dh=dm // h,
+            h=h, tp=t, dh=dm // h, nb=nb,
         ),
-        grid=(b,),
+        grid=(b // nb,),
         in_specs=[
             blk(), blk(), blk(),
-            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0),
+            pl.BlockSpec((nb, 1, t), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=blk(),
@@ -583,19 +596,20 @@ def _lanes_fwd(q, k, v, mask, h, causal):
 def _lanes_bwd(h, causal, res, do):
     q, k, v, mask, o = res
     b, t, dm = q.shape
+    nb = _lanes_nb(b, t, dm, q.dtype.itemsize, 8)
     maskf = _mask3(mask, b, t, t)
     blk = lambda: pl.BlockSpec(
-        (1, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
+        (nb, t, dm), lambda bb: (bb, 0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _lanes_bwd_kernel, scale=(dm // h) ** -0.5, tk=t, causal=causal,
-            h=h, tp=t, dh=dm // h,
+            h=h, tp=t, dh=dm // h, nb=nb,
         ),
-        grid=(b,),
+        grid=(b // nb,),
         in_specs=[
             blk(), blk(), blk(), blk(), blk(),
-            pl.BlockSpec((1, 1, t), lambda bb: (bb, 0, 0),
+            pl.BlockSpec((nb, 1, t), lambda bb: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[blk(), blk(), blk()],

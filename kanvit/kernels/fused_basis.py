@@ -1287,16 +1287,39 @@ def cheby_qkv_grouped(x2d, cc):
 # Sine's basis depends on per-head trainable freq (reference
 # sinekan.py:65-70), so q/k/v cannot share one expansion — but like fast,
 # each PROJECTION runs as one slot-grouped launch over all heads straight
-# off the (B*T, H*dh) activation: freq/phase ride as (ng, q*dh) row tables
-# (sine_family_rows), the forward is the generic sg template, and the
-# backward is a dedicated kernel that accumulates dfreq rows in VMEM
-# alongside dx/dw (the XLA dfreq expression materializes two (N, in, ng)
-# f32 temps per projection — the reason the plain tier grew in-kernel
-# dfreq, _bwd_kernel_sine).
+# off the (B*T, H*dh) activation, with freq/phase as (ng, q*dh) row tables
+# (slot r's scalars tiled across its lane segment).
+#
+# Unlike the other sg families this one does NOT use the slot-major basis
+# scratch + slice-dot template: at the sine MSA shape (ng=4, dh=64) the
+# dots are trivial (~7 GFLOP/projection) and the template's per-slot
+# 64-lane scatter writes dominate (measured 3.4 ms fwd / 4.0 ms bwd per
+# projection, ~10x roofline — tools/tpu_probe_sine_sg.py). Instead each
+# basis SLICE contracts immediately against a per-slice block-diagonal
+# (q*nin, q*out) weight: every read/write stays 128-lane aligned, no
+# scratch exists, and the structural-zero MACs are noise at this scale
+# (the same trade that LOSES for the big-dot families).
+
+def _fwd_kernel_sine_sg(x_ref, w_ref, freq_ref, phase_ref, y_ref,
+                        *, nin, ng, qslots):
+    qn = qslots * nin
+    x = x_ref[:].astype(jnp.float32)
+    dd = _dot_dtype(x_ref, w_ref)
+    acc = None
+    for gi in range(ng):
+        a = x * freq_ref[gi, :] + phase_ref[gi, :]
+        s = jnp.sin(a).astype(dd)
+        d = jax.lax.dot_general(
+            s, w_ref[gi * qn : (gi + 1) * qn, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    y_ref[:] = acc.astype(y_ref.dtype)
+
 
 def _bwd_kernel_sine_sg(x_ref, w_ref, g_ref, freq_ref, phase_ref,
-                        dx_ref, dw_ref, dfreq_ref,
-                        basis_scr, dw_acc, df_acc, *, nin, ng, qslots):
+                        dx_ref, dw_ref, dfreq_ref, dw_acc, df_acc,
+                        *, nin, ng, qslots):
     i = pl.program_id(1)
     n_i = pl.num_programs(1)
 
@@ -1305,46 +1328,35 @@ def _bwd_kernel_sine_sg(x_ref, w_ref, g_ref, freq_ref, phase_ref,
         dw_acc[:] = jnp.zeros_like(dw_acc)
         df_acc[:] = jnp.zeros_like(df_acc)
 
-    f = ng * nin
-    out = w_ref.shape[1]
+    qn = qslots * nin
     x = x_ref[:].astype(jnp.float32)
     gout = g_ref[:]
     w = w_ref[:].astype(gout.dtype)
-    gws = [
-        jax.lax.dot_general(
-            gout[:, r * out : (r + 1) * out], w[r * f : (r + 1) * f],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # (bn, f) f32
-        for r in range(qslots)
-    ]
-    dx = jnp.zeros((x.shape[0], qslots * nin), jnp.float32)
+    dd = _dot_dtype(x_ref, w_ref)
+    dx = jnp.zeros((x.shape[0], qn), jnp.float32)
     dfrows = []
     for gi in range(ng):
         fr = freq_ref[gi, :]
         a = x * fr + phase_ref[gi, :]
         c = jnp.cos(a)
-        sd = jnp.sin(a).astype(basis_scr.dtype)
-        # Full-width (bn, q*nin) gW row for slice gi: slot segments stitched
-        # so dx / dfreq vectorize across slots.
-        gwg = jnp.concatenate(
-            [gws[r][:, gi * nin : (gi + 1) * nin] for r in range(qslots)],
-            axis=1,
-        ) if qslots > 1 else gws[0][:, gi * nin : (gi + 1) * nin]
-        for r in range(qslots):
-            basis_scr[:, r * f + gi * nin : r * f + (gi + 1) * nin] = (
-                sd[:, r * nin : (r + 1) * nin]
-            )
-        dx += gwg * (fr * c)
-        dfrows.append(jnp.sum(gwg * x * c, axis=0, keepdims=True))
+        s = jnp.sin(a).astype(dd)
+        # gw slice: (bn, q*nin) via the block-diag weight's transpose —
+        # full-width and aligned, no per-slot stitching.
+        gw = jax.lax.dot_general(
+            gout, w[gi * qn : (gi + 1) * qn, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dx += gw * (fr * c)
+        dfrows.append(jnp.sum(gw * x * c, axis=0, keepdims=True))
+        # Dense (q*nin, q*out) dw block; the wrapper's (differentiable)
+        # block-diag construction discards the off-diagonal cross terms.
+        dw_acc[gi * qn : (gi + 1) * qn, :] += jax.lax.dot_general(
+            s, gout.astype(dd), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     dx_ref[:] = dx.astype(dx_ref.dtype)
     df_acc[:] += (dfrows[0] if ng == 1
                   else jnp.concatenate(dfrows, axis=0))
-    for r in range(qslots):
-        dw_acc[r * f : (r + 1) * f, :] += jax.lax.dot_general(
-            basis_scr[:, r * f : (r + 1) * f],
-            gout[:, r * out : (r + 1) * out].astype(basis_scr.dtype),
-            (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
 
     @pl.when(i == n_i - 1)
     def _finish():
@@ -1353,28 +1365,49 @@ def _bwd_kernel_sine_sg(x_ref, w_ref, g_ref, freq_ref, phase_ref,
 
 
 def _sine_sg_bn(nin, out, ng, x2d, w_sg, qslots, with_dw):
-    db = jnp.dtype(_dot_dtype(x2d, w_sg)).itemsize
+    """Row block for the block-diag sine sg kernels: resident weight
+    (ng*q*nin, q*out) (+ f32 dw acc), ~8 f32 (bn, q*nin) live rows bwd."""
+    qn = _round_up(qslots * nin, 128)
+    qo = _round_up(qslots * out, 128)
+    fixed = ng * qn * qo * (w_sg.dtype.itemsize + (4 if with_dw else 0))
     xb = x2d.dtype.itemsize
     n_io = 4 if with_dw else 2
-    stream = n_io * (_round_up(qslots * nin, 128) * xb
-                     + _round_up(qslots * out, 128) * xb)
-    # n_temps: the bwd's live f32 row set (x, a, c, gwg, dx, fr*c product,
-    # x*c product + scheduling headroom) — wider than the generic families'.
-    return _pick_row_block(
-        nin, out, ng, n_temps=(10 if with_dw else 4),
-        w_bytes=w_sg.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
-        stream_bytes=stream, per_g=False, pack=qslots, slot_w=True,
-    )
+    per_row = (8 if with_dw else 4) * qn * 4 + n_io * (qn + qo) * xb
+    bn = (_VMEM_BUDGET - fixed) // max(per_row, 1)
+    return int(max(8, min(1024, (bn // 8) * 8)))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _sine_op_sg(x2d, w_sg, freqrow, phaserow, ng, nin, qslots):
-    fam = sine_family_rows(ng)
-    spec = lambda: pl.BlockSpec(
-        (ng, qslots * nin), lambda hp, i: (0, hp), memory_space=pltpu.VMEM
-    )
-    return _fused_fwd_sg(x2d, w_sg, (freqrow, phaserow), (spec(), spec()),
-                         fam, nin, qslots)
+    n, d_all = x2d.shape
+    groups = d_all // nin
+    qn, qo = qslots * nin, w_sg.shape[1]
+    bn = min(_sine_sg_bn(nin, qo // qslots, ng, x2d, w_sg, qslots, False),
+             _round_up(n, 8))
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    rows = lambda: pl.BlockSpec((ng, qn), lambda hp, i: (0, hp),
+                                memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel_sine_sg, nin=nin, ng=ng, qslots=qslots),
+        grid=(groups // qslots, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, qn), lambda hp, i: (i, hp),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ng * qn, qo), lambda hp, i: (hp, 0),
+                         memory_space=pltpu.VMEM),
+            rows(), rows(),
+        ],
+        out_specs=pl.BlockSpec((bn, qo), lambda hp, i: (i, hp),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, (groups // qslots) * qo),
+                                       x2d.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w_sg, freqrow, phaserow)
+    return y[:n]
 
 
 def _sine_op_sg_fwd(x2d, w_sg, freqrow, phaserow, ng, nin, qslots):
@@ -1386,43 +1419,42 @@ def _sine_op_sg_bwd(ng, nin, qslots, res, g):
     x2d, w_sg, freqrow, phaserow = res
     n, d_all = x2d.shape
     groups = d_all // nin
-    f = ng * nin
-    out = w_sg.shape[1]
-    bn = min(_sine_sg_bn(nin, out, ng, x2d, w_sg, qslots, True),
+    qn, qo = qslots * nin, w_sg.shape[1]
+    bn = min(_sine_sg_bn(nin, qo // qslots, ng, x2d, w_sg, qslots, True),
              _round_up(n, 8))
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
-    rows = lambda: pl.BlockSpec((ng, qslots * nin), lambda hp, i: (0, hp),
+    rows = lambda: pl.BlockSpec((ng, qn), lambda hp, i: (0, hp),
                                 memory_space=pltpu.VMEM)
     dx, dw, dfreq = pl.pallas_call(
         functools.partial(_bwd_kernel_sine_sg, nin=nin, ng=ng, qslots=qslots),
         grid=(groups // qslots, np_ // bn),
         in_specs=[
-            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+            pl.BlockSpec((bn, qn), lambda hp, i: (i, hp),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+            pl.BlockSpec((ng * qn, qo), lambda hp, i: (hp, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
+            pl.BlockSpec((bn, qo), lambda hp, i: (i, hp),
                          memory_space=pltpu.VMEM),
             rows(), rows(),
         ],
         out_specs=[
-            pl.BlockSpec((bn, qslots * nin), lambda hp, i: (i, hp),
+            pl.BlockSpec((bn, qn), lambda hp, i: (i, hp),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((qslots * f, out), lambda hp, i: (hp, 0),
+            pl.BlockSpec((ng * qn, qo), lambda hp, i: (hp, 0),
                          memory_space=pltpu.VMEM),
             rows(),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((np_, d_all), x2d.dtype),
-            jax.ShapeDtypeStruct((groups * f, out), w_sg.dtype),
+            jax.ShapeDtypeStruct(((groups // qslots) * ng * qn, qo),
+                                 w_sg.dtype),
             jax.ShapeDtypeStruct((ng, d_all), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bn, qslots * f), _dot_dtype(x2d, w_sg)),
-            pltpu.VMEM((qslots * f, out), jnp.float32),
-            pltpu.VMEM((ng, qslots * nin), jnp.float32),
+            pltpu.VMEM((ng * qn, qo), jnp.float32),
+            pltpu.VMEM((ng, qn), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -1453,7 +1485,16 @@ def sinekan_qkv_grouped(x2d, freq, phase, amplitudes, bias):
     if min(_sine_sg_bn(dh, out, ng, x2d, w_probe, q, False),
            _sine_sg_bn(dh, out, ng, x2d, w_probe, q, True)) < 32:
         return None
-    w_sg = amplitudes.transpose(0, 3, 2, 1).reshape(h * ng * dh, out)
+    # Per-slice block-diagonal weight: (G, ng, q, dh, q, out) with head
+    # r's (dh, out) on the diagonal, flattened to (G*ng*q*dh, q*out). The
+    # eye-mul construction is differentiable, so the kernel's dense dw
+    # block transposes back through it, discarding cross-slot terms.
+    g_ = h // q
+    w5 = amplitudes.transpose(3, 0, 2, 1).reshape(ng, g_, q, dh, out)
+    eye = jnp.eye(q, dtype=amplitudes.dtype)
+    wbd = (w5.transpose(1, 0, 2, 3, 4)[:, :, :, :, None, :]
+           * eye[None, None, :, None, :, None])
+    w_sg = wbd.reshape(g_ * ng * q * dh, q * out)
     freqrow = jnp.repeat(
         freq.T[:, :, None].astype(jnp.float32), dh, axis=2
     ).reshape(ng, h * dh)
