@@ -1857,6 +1857,72 @@ def _fwd_kernel_kb(*refs, family, nin, gb, extra_axes):
         y_ref[:] = acc[:].astype(y_ref.dtype)
 
 
+def _fwd_kernel_kb_basis(*refs, family, nin, gb, extra_axes):
+    """kb forward that also EMITS the basis to HBM (the sine split-residual
+    strategy): the (bn, gb*nin) out block doubles as the basis scratch —
+    same VMEM footprint as _fwd_kernel_kb, one extra HBM write."""
+    x_ref, w_ref, *extra_refs, y_ref, b_ref, acc = refs
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    x = x_ref[:].astype(jnp.float32)
+    ctx = family.setup(x, *(
+        _OffsetRef(r, k * gb, a) for r, a in zip(extra_refs, extra_axes)
+    ))
+    for li in range(gb):
+        b_ref[:, li * nin : (li + 1) * nin] = family.basis(ctx, li).astype(
+            b_ref.dtype
+        )
+    acc[:] += jax.lax.dot_general(
+        b_ref[:], w_ref[:].astype(b_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        y_ref[:] = acc[:].astype(y_ref.dtype)
+
+
+def _dw_kernel_kb_sine_res(x_ref, w_ref, g_ref, b_ref, freq_ref, phase_ref,
+                           dw_ref, dfreq_ref, dfacc, *, nin, gb):
+    """Sine dw + dfreq reading the forward's sin-basis residual: the dw
+    contraction streams the stored slabs instead of recomputing 1.08B sins
+    (the bwd pass's other transcendental, cos for dfreq, is irreducible —
+    there is no pointwise map from sin(a) to cos(a))."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        for li in range(gb):
+            dfacc[0, li] = 0.0
+
+    off = pl.program_id(0) * gb
+    x = x_ref[:].astype(jnp.float32)
+    gout = g_ref[:]
+    gw = jax.lax.dot_general(
+        gout, w_ref[:].astype(gout.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bn, gb*nin) f32
+    for li in range(gb):
+        a = x * freq_ref[0, off + li] + phase_ref[pl.ds(off + li, 1), :]
+        dfacc[0, li] += jnp.sum(
+            gw[:, li * nin : (li + 1) * nin] * x * jnp.cos(a)
+        )
+    dw_ref[:] += jax.lax.dot_general(
+        b_ref[:], gout.astype(b_ref.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _finish():
+        for li in range(gb):
+            dfreq_ref[0, 0, li] = dfacc[0, li]
+
+
 def _dx_kernel_kb(*refs, family, nin, gb, extra_axes):
     x_ref, w_ref, g_ref, *extra_refs, dx_ref, acc = refs
     k = pl.program_id(1)
@@ -2060,6 +2126,130 @@ def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn,
         interpret=dispatch.interpret_mode(),
     )(xp, w3d.reshape(ng * nin, out), *extras)
     return y[:n]
+
+
+def _fused_fwd_kb_basis(x2d, w3d, extras, extra_specs, extra_axes, family,
+                        gb, bn):
+    """kb forward returning (y, basis-residual (np_, ng*nin) in the dot
+    dtype) — the sine mapper's split strategy. Padded rows carry garbage
+    basis values; the bwd pads g with zeros so they contribute nothing."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    nk = ng // gb
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    bd = _dot_dtype(x2d, w3d)
+    y, basis = pl.pallas_call(
+        functools.partial(_fwd_kernel_kb_basis, family=family, nin=nin,
+                          gb=gb, extra_axes=extra_axes),
+        grid=(np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * nin, out), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, out), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, gb * nin), lambda i, k: (i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, out), x2d.dtype),
+            jax.ShapeDtypeStruct((np_, ng * nin), bd),
+        ],
+        scratch_shapes=[pltpu.VMEM((bn, out), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w3d.reshape(ng * nin, out), *extras)
+    return y[:n], basis
+
+
+def _fused_bwd_kb_sine_res(x2d, w3d, g, basis, freq2d, phase, fam, gb,
+                           bn_dx, bn_dw):
+    """Split-residual sine kb backward: dx is the standard (DCE-able) kb
+    kernel; dw streams the stored sin basis (no sin recompute) and dfreq's
+    cos recompute rides the same pass. Returns (dx, dw, dfreq2d)."""
+    n, nin = x2d.shape
+    ng, _, out = w3d.shape
+    nk = ng // gb
+    bd = _dot_dtype(x2d, w3d)
+    w2d = w3d.reshape(ng * nin, out)
+    extras = (freq2d, phase)
+    extra_specs = (_smem_spec(freq2d), _full_vmem_spec(phase))
+
+    bn = bn_dx
+    np_ = _round_up(n, bn)
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    dx = pl.pallas_call(
+        functools.partial(_dx_kernel_kb, family=fam, nin=nin, gb=gb,
+                          extra_axes=(1, 0)),
+        grid=(np_ // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * nin, out), lambda i, k: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda i, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=pl.BlockSpec((bn, nin), lambda i, k: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, nin), x2d.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, nin), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, gp, *extras)
+
+    bn = bn_dw
+    np_ = _round_up(n, bn)
+    # The residual was written at the FORWARD's row block; bn_fwd == bn_dw
+    # is not guaranteed, but the residual's row padding is ≥ both (same
+    # _round_up base n) only when blocks divide — re-pad defensively.
+    basis_p = (basis if basis.shape[0] == np_
+               else jnp.pad(basis[:n], ((0, np_ - n), (0, 0))))
+    xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
+    gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    dw2d, dfreqk = pl.pallas_call(
+        functools.partial(_dw_kernel_kb_sine_res, nin=nin, gb=gb),
+        grid=(nk, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, out), lambda k, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, gb * nin), lambda k, i: (i, k),
+                         memory_space=pltpu.VMEM),
+            *extra_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gb), lambda k, i: (k, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
+            jax.ShapeDtypeStruct((nk, 1, gb), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1, gb), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=dispatch.interpret_mode(),
+    )(xp, w2d, gp, basis_p, freq2d, phase)
+    dw = dw2d.astype(w3d.dtype).reshape(ng, nin, out)
+    return dx[:n], dw, dfreqk.reshape(1, ng).astype(freq2d.dtype)
 
 
 def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
@@ -2962,17 +3152,51 @@ def _sine_op(x2d, w3d, freq2d, phase, grid_size):
     )
 
 
+def _sine_split_ok(n, ng, nin, db):
+    """Sine split-residual backward — MEASURED NEGATIVE at the ViT-S
+    mapper, so OFF by default (``KANVIT_SINE_SPLIT=1`` re-enables): the
+    2.06 GB bf16 residual's write+read (~5 ms) costs more than the sin
+    recompute it saves (76.0 vs 73.7 ms fwd+params-bwd,
+    tools/tpu_probe_sine_embed.py) — Mosaic's sin is cheap enough that
+    recompute beats the HBM round trip."""
+    import os
+
+    if os.environ.get("KANVIT_SINE_SPLIT", "0") != "1":
+        return False
+    return n * ng * nin * db <= 3 * 1024 ** 3
+
+
 def _sine_op_fwd(x2d, w3d, freq2d, phase, grid_size):
-    return _sine_op(x2d, w3d, freq2d, phase, grid_size), (x2d, w3d, freq2d, phase)
+    kb = _kb_strategy(x2d, w3d)
+    if kb:
+        ng, nin, out = w3d.shape
+        db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
+        if _sine_split_ok(x2d.shape[0], ng, nin, db):
+            fam = sine_family(grid_size)
+            phasef = phase.astype(jnp.float32)  # see _sine_op
+            gb, bn_fwd, _, _ = kb
+            y, basis = _fused_fwd_kb_basis(
+                x2d, w3d, (freq2d, phasef),
+                (_smem_spec(freq2d), _full_vmem_spec(phasef)), (1, 0),
+                fam, gb, bn_fwd,
+            )
+            return y, (x2d, w3d, freq2d, phase, basis)
+    return (_sine_op(x2d, w3d, freq2d, phase, grid_size),
+            (x2d, w3d, freq2d, phase, None))
 
 
 def _sine_op_bwd(grid_size, res, g):
-    x2d, w3d, freq2d, phase = res
+    x2d, w3d, freq2d, phase, basis = res
     fam = sine_family(grid_size)
     kb = _kb_strategy(x2d, w3d)
     if kb:
         phasef = phase.astype(jnp.float32)  # see _sine_op: Mosaic alignment
         gb, _, bn_dx, bn_dw = kb
+        if basis is not None:
+            dx, dw, dfreq = _fused_bwd_kb_sine_res(
+                x2d, w3d, g, basis, freq2d, phasef, fam, gb, bn_dx, bn_dw,
+            )
+            return dx, dw, dfreq, jnp.zeros_like(phase)
         dx, dw, dfreq = _fused_bwd_kb(
             x2d, w3d, g, (freq2d, phasef),
             (_smem_spec(freq2d), _full_vmem_spec(phasef)), (1, 0),

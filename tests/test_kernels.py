@@ -239,6 +239,20 @@ def test_kb_streaming_sine(x):
     assert np.abs(np.asarray(dw - rw)).max() < 1e-4
     assert np.abs(np.asarray(dfreq - rf)).max() < 1e-3
 
+    # Split-residual strategy: the basis-emitting forward matches, and the
+    # residual-streaming dw + cos-only dfreq backward matches the same
+    # references (the sine embedder path; KANVIT_SINE_SPLIT gates it).
+    y2, basis = FB._fused_fwd_kb_basis(
+        x, w3d, (freq2d, phase), specs, axes, fam, gb, bn
+    )
+    assert np.abs(np.asarray(y2 - ref(x, w3d, freq2d))).max() < 1e-5
+    dx2, dw2, df2 = FB._fused_bwd_kb_sine_res(
+        x, w3d, g, basis, freq2d, phase, fam, gb, bn, bn
+    )
+    assert np.abs(np.asarray(dx2 - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dw2 - rw)).max() < 1e-4
+    assert np.abs(np.asarray(df2 - rf)).max() < 1e-3
+
 
 def test_sine_plain_joint_bwd(x):
     """Plain-tier sine joint backward (_bwd_kernel_sine): dx/dw and the
