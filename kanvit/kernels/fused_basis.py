@@ -69,6 +69,14 @@ from kanvit.ops import kan_bases as K
 # hardware limit.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
+# Scoped-VMEM ceiling for the kb dw kernels (vmem_limit_bytes). Mosaic's
+# default scoped limit is 16MB; v5e has 128MB of VMEM. The dw pass is
+# step-overhead bound — wider k slabs cut its (k, rows) grid directly —
+# so it alone requests a raised limit and sizes slabs against this model
+# (everything double-buffered + per-row temps; see _pick_kb).
+_DW_VMEM_LIMIT = 112 * 1024 * 1024
+_DW_VMEM_BUDGET = 96 * 1024 * 1024
+
 
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
@@ -2020,8 +2028,8 @@ def _kb_bn(fixed: int, per_row: int) -> int:
 
 
 def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
-             pair: bool = False, recur: bool = False):
-    """(gb, bn_fwd, bn_dx, bn_dw) for the K-blocked tier, or None.
+             pair: bool = False, recur: bool = False, sine: bool = False):
+    """(gb, bn_fwd, bn_dx, bn_dw, gb_dw) for the K-blocked tier, or None.
 
     Row blocks are picked PER KERNEL: the full weight streams once per row
     block in the k-inner kernels (fwd/dx), so their bn directly divides the
@@ -2029,10 +2037,25 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
     fixed set (the f32 dw block) would re-stream the weight 3-4x more often.
     ``pair``: gb must stay even (fourier's interleaved cos/sin parity).
     ``recur``: charge the 4-wide f32 trig carry (fwd/dx scratch, dw temps)
-    of the harmonic-recurrence kernels."""
+    of the harmonic-recurrence kernels.
+
+    ``gb_dw``: the dw kernel gets its OWN slab size, sized against the
+    RAISED scoped-VMEM limit (``_DW_VMEM_LIMIT``; Mosaic's default 16M is
+    a fraction of v5e's 128M). Measured on the ViT-S mappers
+    (tools/tpu_probe_dw_slab.py, full kb bwd):
+
+    - fourier/generic (no weight input, grid-step bound): monotone better
+      with wider slabs — 54.6 ms at gb_dw=2 -> 28.5 at gb_dw=ng, where
+      the whole f32 dw block sits VMEM-resident (single-buffered, the k
+      grid collapses to 1) and only rows stream. Widest divisor that fits.
+    - sine (streams the weight slab + builds a (bn, fk) f32 gw for the
+      in-kernel dfreq, transcendental-bound): narrow slabs win — best at
+      (gb_dw=4, bn=256), 65.9 vs 69.0 ms at the old coupled pick; wide
+      slabs LOSE (71-75 ms at gb_dw=14)."""
     rn = _round_up(nin, 128)
     ro = _round_up(out, 128)
     trig = 4 * rn * 4 if recur else 0
+    got = None
     for gb in (8, 4, 2):
         if ng % gb or gb >= ng or (pair and gb % 2):
             continue
@@ -2046,20 +2069,55 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
             5 * rn * 4 + fk * 4 + trig              # temps, f32 gw, dx acc
             + 2 * (2 * rn * xb + ro * xb)
         )
-        per_dw = (
-            4 * rn * 4 + 2 * fk * db + fk * 4 + trig  # temps, basis, sine gw
+        per_dw_j = (
+            4 * rn * 4 + 2 * fk * db + fk * 4 + trig
             + 2 * (rn * xb + ro * xb)
         )
         bn_fwd = _kb_bn(slab, per_fwd)
         bn_dx = _kb_bn(slab, per_dx)
-        bn_dw = _kb_bn(2 * fk * out * 4 + slab, per_dw)
-        if min(bn_fwd, bn_dx, bn_dw) >= 32:
-            return gb, bn_fwd, bn_dx, bn_dw
-    return None
+        bn_dw_j = _kb_bn(2 * fk * out * 4 + slab, per_dw_j)
+        if min(bn_fwd, bn_dx, bn_dw_j) >= 32:
+            got = (gb, bn_fwd, bn_dx, bn_dw_j)
+            break
+    if got is None:
+        return None
+    gb, bn_fwd, bn_dx, bn_dw_j = got
+    if sine:
+        cands = (4, 2)
+    else:
+        cands = tuple(d for d in range(ng, 1, -1) if ng % d == 0)
+    for gb_dw in cands:
+        if gb_dw > ng or (pair and gb_dw % 2):
+            continue
+        fk = gb_dw * nin
+        if sine:
+            # double-buffered w slab + f32 dw out, full f32 phase; per row
+            # the streamed x/g, the bd basis scratch, the f32 gw, temps.
+            fixed_dw = 2 * fk * out * (4 + wb) + ng * rn * 4
+            per_dw = (6 * rn * 4 + fk * (db + 4)
+                      + 2 * (rn * xb + ro * xb))
+            cap = 256
+        else:
+            bufs = 1 if gb_dw == ng else 2  # k grid of 1: no revolving
+            fixed_dw = bufs * fk * out * 4
+            per_dw = (6 * rn * 4 + fk * db + trig
+                      + 2 * (rn * xb + ro * xb))
+            if recur:
+                # The unrolled recurrence spills ~4.5 row-wide f32 vectors
+                # per harmonic pair to scoped VMEM (measured: 55.5M of
+                # register-allocator spill slots at gb_dw=56, bn=144).
+                per_dw += (9 * gb_dw * rn * 4) // 4
+            cap = 256
+        bn_dw = (_DW_VMEM_BUDGET - fixed_dw) // max(per_dw, 1)
+        bn_dw = int(min(cap, (bn_dw // 8) * 8))
+        if bn_dw >= 96:
+            return gb, bn_fwd, bn_dx, bn_dw, gb_dw
+    # fall back to the joint sizing (fits the default 16M scoped limit)
+    return gb, bn_fwd, bn_dx, bn_dw_j, gb
 
 
 def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False,
-                 recur: bool = False) -> bool:
+                 recur: bool = False, sine: bool = False) -> bool:
     """Shape/dtype-only probe of ``_kb_strategy`` for the dispatch gate."""
     wb = jnp.dtype(wdt).itemsize
     if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
@@ -2067,10 +2125,11 @@ def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False,
     db = 2 if (jnp.dtype(xdt) == jnp.bfloat16
                and jnp.dtype(wdt) == jnp.bfloat16) else 4
     return _pick_kb(nin, out, ng, jnp.dtype(xdt).itemsize, wb, db,
-                    pair=pair, recur=recur) is not None
+                    pair=pair, recur=recur, sine=sine) is not None
 
 
-def _kb_strategy(x2d, w3d, pair: bool = False, recur: bool = False):
+def _kb_strategy(x2d, w3d, pair: bool = False, recur: bool = False,
+                 sine: bool = False):
     """Engage kb only where the weight-resident tiers cannot hold the full
     (F, out) weight (+ f32 dw) — i.e. where the alternative is the
     out-blocked tier's per-slab transcendental recompute or XLA's
@@ -2084,7 +2143,7 @@ def _kb_strategy(x2d, w3d, pair: bool = False, recur: bool = False):
         return None
     db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
     return _pick_kb(nin, out, ng, x2d.dtype.itemsize, wb, db, pair=pair,
-                    recur=recur)
+                    recur=recur, sine=sine)
 
 
 def _fused_fwd_kb(x2d, w3d, extras, extra_specs, extra_axes, family, gb, bn,
@@ -2245,6 +2304,7 @@ def _fused_bwd_kb_sine_res(x2d, w3d, g, basis, freq2d, phase, fam, gb,
         scratch_shapes=[pltpu.SMEM((1, gb), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_DW_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xp, w2d, gp, basis_p, freq2d, phase)
@@ -2253,7 +2313,8 @@ def _fused_bwd_kb_sine_res(x2d, w3d, g, basis, freq2d, phase, fam, gb,
 
 
 def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
-                  bn_dx, bn_dw, sine_freq_phase=None, recur: bool = False):
+                  bn_dx, bn_dw, sine_freq_phase=None, recur: bool = False,
+                  gb_dw=None):
     """dx via (rows, k) accumulation; dw via the transposed (k, rows) grid
     (each kernel gets its own row block — see ``_pick_kb``).
     ``sine_freq_phase``: (freq2d, phase) engages the sine dw kernel with
@@ -2299,18 +2360,20 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
     )(xp, w2d, gp, *extras)
 
     bn = bn_dw
+    gbw = gb_dw or gb  # the dw kernel gets its own (larger) slab size
+    nkw = ng // gbw
     np_ = _round_up(n, bn)
     xp = jnp.pad(x2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
     if sine_freq_phase is not None:
         freq2d, phase = sine_freq_phase
         dw2d, dfreqk = pl.pallas_call(
-            functools.partial(_dw_kernel_kb_sine, nin=nin, gb=gb),
-            grid=(nk, np_ // bn),
+            functools.partial(_dw_kernel_kb_sine, nin=nin, gb=gbw),
+            grid=(nkw, np_ // bn),
             in_specs=[
                 pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                pl.BlockSpec((gbw * nin, out), lambda k, i: (k, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bn, out), lambda k, i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -2318,21 +2381,22 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
                 _full_vmem_spec(phase),
             ],
             out_specs=[
-                pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+                pl.BlockSpec((gbw * nin, out), lambda k, i: (k, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, gb), lambda k, i: (k, 0, 0),
+                pl.BlockSpec((1, 1, gbw), lambda k, i: (k, 0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
-                jax.ShapeDtypeStruct((nk, 1, gb), jnp.float32),
+                jax.ShapeDtypeStruct((nkw, 1, gbw), jnp.float32),
             ],
             scratch_shapes=[
-                pltpu.VMEM((bn, gb * nin), bd),
-                pltpu.SMEM((1, gb), jnp.float32),
+                pltpu.VMEM((bn, gbw * nin), bd),
+                pltpu.SMEM((1, gbw), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
+                vmem_limit_bytes=_DW_VMEM_LIMIT,
             ),
             interpret=dispatch.interpret_mode(),
         )(xp, w2d, gp, freq2d, phase)
@@ -2340,13 +2404,13 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
         return dx[:n], dw, dfreqk.reshape(1, ng).astype(freq2d.dtype)
 
     if recur:
-        dw_kern = functools.partial(_dw_kernel_kbf, nin=nin, gb=gb)
+        dw_kern = functools.partial(_dw_kernel_kbf, nin=nin, gb=gbw)
     else:
         dw_kern = functools.partial(_dw_kernel_kb, family=family, nin=nin,
-                                    gb=gb, extra_axes=extra_axes)
+                                    gb=gbw, extra_axes=extra_axes)
     dw2d = pl.pallas_call(
         dw_kern,
-        grid=(nk, np_ // bn),
+        grid=(nkw, np_ // bn),
         in_specs=[
             pl.BlockSpec((bn, nin), lambda k, i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -2354,12 +2418,13 @@ def _fused_bwd_kb(x2d, w3d, g, extras, extra_specs, extra_axes, family, gb,
                          memory_space=pltpu.VMEM),
             *extra_specs,
         ],
-        out_specs=pl.BlockSpec((gb * nin, out), lambda k, i: (k, 0),
+        out_specs=pl.BlockSpec((gbw * nin, out), lambda k, i: (k, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ng * nin, out), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bn, gb * nin), bd)],
+        scratch_shapes=[pltpu.VMEM((bn, gbw * nin), bd)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_DW_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xp, gp, *extras)
@@ -3136,14 +3201,14 @@ _rbf_op.defvjp(_rbf_op_fwd, _rbf_op_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _sine_op(x2d, w3d, freq2d, phase, grid_size):
     fam = sine_family(grid_size)
-    kb = _kb_strategy(x2d, w3d)
+    kb = _kb_strategy(x2d, w3d, sine=True)
     if kb:
         # The kb kernels slice phase rows at a traced k*gb offset; Mosaic
         # only lowers that unaligned dynamic sublane load for f32 refs
         # ((8,128) tiling — bf16's packed (16,128) tiles reject it), so the
         # tiny (ng, in) phase rides f32 regardless of the policy dtype.
         phasef = phase.astype(jnp.float32)
-        gb, bn_fwd, _, _ = kb
+        gb, bn_fwd = kb[0], kb[1]
         return _fused_fwd_kb(x2d, w3d, (freq2d, phasef),
                              (_smem_spec(freq2d), _full_vmem_spec(phasef)),
                              (1, 0), fam, gb, bn_fwd)
@@ -3167,14 +3232,14 @@ def _sine_split_ok(n, ng, nin, db):
 
 
 def _sine_op_fwd(x2d, w3d, freq2d, phase, grid_size):
-    kb = _kb_strategy(x2d, w3d)
+    kb = _kb_strategy(x2d, w3d, sine=True)
     if kb:
         ng, nin, out = w3d.shape
         db = jnp.dtype(_dot_dtype(x2d, w3d)).itemsize
         if _sine_split_ok(x2d.shape[0], ng, nin, db):
             fam = sine_family(grid_size)
             phasef = phase.astype(jnp.float32)  # see _sine_op
-            gb, bn_fwd, _, _ = kb
+            gb, bn_fwd = kb[0], kb[1]
             y, basis = _fused_fwd_kb_basis(
                 x2d, w3d, (freq2d, phasef),
                 (_smem_spec(freq2d), _full_vmem_spec(phasef)), (1, 0),
@@ -3188,10 +3253,10 @@ def _sine_op_fwd(x2d, w3d, freq2d, phase, grid_size):
 def _sine_op_bwd(grid_size, res, g):
     x2d, w3d, freq2d, phase, basis = res
     fam = sine_family(grid_size)
-    kb = _kb_strategy(x2d, w3d)
+    kb = _kb_strategy(x2d, w3d, sine=True)
     if kb:
         phasef = phase.astype(jnp.float32)  # see _sine_op: Mosaic alignment
-        gb, _, bn_dx, bn_dw = kb
+        gb, _, bn_dx, bn_dw, gb_dw = kb
         if basis is not None:
             dx, dw, dfreq = _fused_bwd_kb_sine_res(
                 x2d, w3d, g, basis, freq2d, phasef, fam, gb, bn_dx, bn_dw,
@@ -3201,6 +3266,7 @@ def _sine_op_bwd(grid_size, res, g):
             x2d, w3d, g, (freq2d, phasef),
             (_smem_spec(freq2d), _full_vmem_spec(phasef)), (1, 0),
             fam, gb, bn_dx, bn_dw, sine_freq_phase=(freq2d, phasef),
+            gb_dw=gb_dw,
         )
         return dx, dw, dfreq, jnp.zeros_like(phase)
     joint = _fused_bwd_sine_plain(x2d, w3d, g, freq2d, phase)
@@ -3241,7 +3307,7 @@ def _fourier_hk(grid_size):
 def _fourier_op(x2d, w3d, grid_size):
     kb = _kb_strategy(x2d, w3d, pair=True, recur=True)
     if kb:
-        gb, bn_fwd, _, _ = kb
+        gb, bn_fwd = kb[0], kb[1]
         w3i = w3d[_fourier_interleave(grid_size)]
         hk = _fourier_hk(grid_size)
         return _fused_fwd_kb(x2d, w3i, (hk,), (_smem_spec(hk),), (1,),
@@ -3258,12 +3324,12 @@ def _fourier_op_bwd(grid_size, res, g):
     x2d, w3d = res
     kb = _kb_strategy(x2d, w3d, pair=True, recur=True)
     if kb:
-        gb, _, bn_dx, bn_dw = kb
+        gb, _, bn_dx, bn_dw, gb_dw = kb
         perm = _fourier_interleave(grid_size)
         hk = _fourier_hk(grid_size)
         dx, dwi = _fused_bwd_kb(x2d, w3d[perm], g, (hk,), (_smem_spec(hk),),
                                 (1,), fourier_family_kb(grid_size), gb,
-                                bn_dx, bn_dw, recur=True)
+                                bn_dx, bn_dw, recur=True, gb_dw=gb_dw)
         return dx, dwi[jnp.argsort(perm)]
     dx, dw = _fused_bwd(x2d, w3d, g, (), (), fourier_family(grid_size))
     return dx, dw
@@ -3455,7 +3521,8 @@ def sinekan(x, freq, phase, amplitudes, bias):
     out = amplitudes.shape[0]
     ng = freq.shape[-1]
     xf = x.reshape(-1, nin)
-    kb_ok = _kb_eligible(nin, ng, out, x.dtype, amplitudes.dtype)
+    kb_ok = _kb_eligible(nin, ng, out, x.dtype, amplitudes.dtype,
+                          sine=True)
     if not _should_fuse(xf.shape[0], nin * ng, nin=nin, kb_ok=kb_ok):
         return K.sinekan_forward(x, freq, phase, amplitudes, bias)
     w3d = amplitudes.transpose(2, 1, 0)  # (ng, in, out)

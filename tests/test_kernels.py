@@ -253,6 +253,18 @@ def test_kb_streaming_sine(x):
     assert np.abs(np.asarray(dw2 - rw)).max() < 1e-4
     assert np.abs(np.asarray(df2 - rf)).max() < 1e-3
 
+    # Decoupled dw slab (gb_dw != gb): the dw/dfreq kernel runs its own
+    # (k, rows) grid geometry while dx keeps the fwd slab — values must
+    # not move (_pick_kb sizes these independently; the dw pass is
+    # step-overhead bound and wants the widest slab that fits).
+    dx3, dw3, df3 = FB._fused_bwd_kb(
+        x, w3d, g, (freq2d, phase), specs, axes, fam, gb, bn, bn,
+        sine_freq_phase=(freq2d, phase), gb_dw=ng,
+    )
+    assert np.abs(np.asarray(dx3 - rx)).max() < 1e-4
+    assert np.abs(np.asarray(dw3 - rw)).max() < 1e-4
+    assert np.abs(np.asarray(df3 - rf)).max() < 1e-3
+
 
 def test_sine_plain_joint_bwd(x):
     """Plain-tier sine joint backward (_bwd_kernel_sine): dx/dw and the
@@ -624,6 +636,15 @@ def test_kb_streaming_fourier(x):
     assert np.abs(np.asarray(dxr - rx)).max() < 1e-4
     assert np.abs(np.asarray(dwr - rw)).max() < 1e-4
 
+    # Decoupled dw slab (gb_dw != gb, even for parity): both the direct
+    # and recurrence dw kernels must match at a wider slab.
+    for rec in (False, True):
+        dx4, dwi4 = FB._fused_bwd_kb(x, w3d[perm], g, (hk,), specs, axes,
+                                     fam, gb, bn, bn, recur=rec, gb_dw=ng)
+        dw4 = dwi4[jnp.argsort(perm)]
+        assert np.abs(np.asarray(dx4 - rx)).max() < 1e-4
+        assert np.abs(np.asarray(dw4 - rw)).max() < 1e-4
+
 
 def test_kb_strategy_engages_at_mapper_shapes():
     """Dispatch: the ViT-S sine/fourier grid-28 mappers route to the kb
@@ -638,7 +659,8 @@ def test_kb_strategy_engages_at_mapper_shapes():
     kbf = FB._kb_strategy(xm, wf, pair=True)
     assert kbf is not None
     assert kbf[0] % 2 == 0              # fourier parity needs even gb
-    assert min(kbf[1:]) >= 32           # per-kernel row blocks
+    assert kbf[4] % 2 == 0              # ... and even gb_dw
+    assert min(kbf[1:4]) >= 32          # per-kernel row blocks
     xs = jnp.zeros((50176, 128), jnp.bfloat16)
     ws = jnp.zeros((4, 128, 256), jnp.bfloat16)
     assert FB._kb_strategy(xs, ws) is None

@@ -59,7 +59,7 @@ def main():
     g = jax.random.normal(ks[3], (n, OUT)) * 0.5
     kb = FB._kb_strategy(x, w)
     print(f"sine kb strategy at (2048,{NIN})x({ng},{NIN},{OUT}): {kb}", flush=True)
-    gb, bn, bn_dx, bn_dw = kb if kb else (4, 128, 128, 128)
+    gb, bn, bn_dx, bn_dw = kb[:4] if kb else (4, 128, 128, 128)
     specs = (FB._smem_spec(freq2d), FB._full_vmem_spec(phase))
     axes = (1, 0)
     fam = FB.sine_family(ng)
