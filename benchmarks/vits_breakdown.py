@@ -38,6 +38,39 @@ def timeit(fn, *args, steps=10, warmup=2):
     return (time.perf_counter() - t0) / steps * 1000  # ms
 
 
+def chain_timer(loss, p, x, steps=20, warmup=2, reps=3):
+    """Device-resident component timing: ``steps`` fwd+bwd iterations
+    chained through a lax.scan carry inside ONE jit program. Per-call
+    dispatch on the tunneled transport costs ~2.9 ms (measured: an (8,128)
+    add "takes" 2.93 ms per dispatched call) — per-call timing overstates
+    every small component by that much, which mis-ranks optimization
+    targets. The carry perturbs x so XLA cannot hoist or CSE iterations;
+    a grad-norm term keeps the backward alive."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(p, x):
+        def body(c, _):
+            l, g = jax.value_and_grad(loss)(p, x, c)
+            gs = sum(jnp.sum(t.astype(jnp.float32) ** 2)
+                     for t in jax.tree.leaves(g))
+            return c + (l.astype(jnp.float32) + gs) * 1e-30, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=steps)
+        return c
+
+    for _ in range(warmup):
+        out = run(p, x)
+    float(np.asarray(out))
+    best = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(p, x)
+        float(np.asarray(out))
+        best.append((time.perf_counter() - t0) / steps * 1000)
+    return sorted(best)[len(best) // 2]  # median of reps
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
@@ -71,15 +104,12 @@ def main():
         p_emb = emb.init(jax.random.PRNGKey(1), x_emb)["params"]
         p_emb = jax.tree.map(lambda a: a.astype(dt), p_emb)
 
-        @jax.jit
-        def emb_step(p, x):
-            def loss(p):
-                return (emb.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
-            l, g = jax.value_and_grad(loss)(p)
-            return l, g
+        def emb_loss(p, x, c):
+            x = (x * (1 + c * 1e-12)).astype(x.dtype)
+            return (emb.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
 
-        rec["embedder_fwd_bwd_ms"] = round(timeit(emb_step, p_emb, x_emb,
-                                                  steps=args.steps), 2)
+        rec["embedder_fwd_bwd_ms"] = round(
+            chain_timer(emb_loss, p_emb, x_emb, steps=args.steps), 2)
 
         # --- MSA alone (per-head KAN q/k/v + attention, no FF)
         from kanvit.layers.attention import MSA
@@ -91,14 +121,12 @@ def main():
             msa.init(jax.random.PRNGKey(8), x_msa)["params"],
         )
 
-        @jax.jit
-        def msa_step(p, x):
-            def loss(p):
-                return (msa.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
-            return jax.value_and_grad(loss)(p)
+        def msa_loss(p, x, c):
+            x = (x * (1 + c * 1e-12)).astype(x.dtype)
+            return (msa.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
 
-        rec["msa_fwd_bwd_ms"] = round(timeit(msa_step, p_msa, x_msa,
-                                             steps=args.steps), 2)
+        rec["msa_fwd_bwd_ms"] = round(
+            chain_timer(msa_loss, p_msa, x_msa, steps=args.steps), 2)
 
         # --- FF pair alone (Linear 384 -> 1536 -> 384 + ReLU)
         from kanvit.layers.kan import TorchLinear
@@ -115,14 +143,12 @@ def main():
             ff.init(jax.random.PRNGKey(9), x_msa)["params"],
         )
 
-        @jax.jit
-        def ff_step(p, x):
-            def loss(p):
-                return (ff.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
-            return jax.value_and_grad(loss)(p)
+        def ff_loss(p, x, c):
+            x = (x * (1 + c * 1e-12)).astype(x.dtype)
+            return (ff.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
 
-        rec["ff_fwd_bwd_ms"] = round(timeit(ff_step, p_ff, x_msa,
-                                            steps=args.steps), 2)
+        rec["ff_fwd_bwd_ms"] = round(
+            chain_timer(ff_loss, p_ff, x_msa, steps=args.steps), 2)
 
         # --- one transformer block (MSA + FF) at (B, T, D)
         blk = TransformerBlock(d_model=D, n_heads=H, feedforward_dim=4 * D,
@@ -131,14 +157,12 @@ def main():
         p_blk = blk.init(jax.random.PRNGKey(3), x_blk)["params"]
         p_blk = jax.tree.map(lambda a: a.astype(dt), p_blk)
 
-        @jax.jit
-        def blk_step(p, x):
-            def loss(p):
-                return (blk.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
-            return jax.value_and_grad(loss)(p)
+        def blk_loss(p, x, c):
+            x = (x * (1 + c * 1e-12)).astype(x.dtype)
+            return (blk.apply({"params": p}, x).astype(jnp.float32) ** 2).mean()
 
-        rec["block_fwd_bwd_ms"] = round(timeit(blk_step, p_blk, x_blk,
-                                               steps=args.steps), 2)
+        rec["block_fwd_bwd_ms"] = round(
+            chain_timer(blk_loss, p_blk, x_blk, steps=args.steps), 2)
         rec["blocks_total_ms"] = round(12 * rec["block_fwd_bwd_ms"], 1)
 
         if args.skip_full:

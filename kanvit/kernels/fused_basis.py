@@ -77,6 +77,11 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 _DW_VMEM_LIMIT = 112 * 1024 * 1024
 _DW_VMEM_BUDGET = 96 * 1024 * 1024
 
+# Scoped-VMEM ceiling for the slot-grouped qkv kernels (None = Mosaic's
+# 16M default). Probe knob: tools/tpu_probe_sg_geometry.py sweeps it with
+# forced row blocks to find where the sg launches sit vs their roofline.
+_SG_VMEM_LIMIT = None
+
 
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
@@ -1136,6 +1141,7 @@ def _fused_fwd_sg(x2d, w_sg, extras, extra_specs, family, nin, qslots):
         scratch_shapes=[pltpu.VMEM((bn, qslots * f), _dot_dtype(x2d, w_sg))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xp, w_sg, *extras)
@@ -1185,6 +1191,7 @@ def _fused_bwd_sg(x2d, w_sg, g, extras, extra_specs, family, nin, qslots):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xp, w_sg, gp, *extras)
