@@ -311,6 +311,76 @@ def rbf_family(num_grids: int, denominator: float) -> Family:
     return Family(num_grids, setup, basis, basis_grad, lazy=True)
 
 
+def _rbf_aug(grid2d, denominator):
+    """Augment the ``(1, ng)`` RBF grid row with the uniform-grid recurrence
+    constants consumed by ``_rbf_recur``: ``[grid | d | t_1 .. t_{ng-1}]``
+    where ``d = (c_1 - c_0)/h`` and ``t_j = exp(-(j d)^2)``. Computed on the
+    XLA side (tiny, fused into the call's prologue) so the kernels never
+    need a scalar transcendental."""
+    ng = grid2d.shape[1]
+    if ng < 3:
+        return grid2d
+    g = grid2d.astype(jnp.float32)
+    d = (g[0, 1] - g[0, 0]) / denominator
+    j = jnp.arange(1, ng, dtype=jnp.float32)
+    t = jnp.exp(-((j * d) ** 2))
+    return jnp.concatenate([g, d.reshape(1, 1), t.reshape(1, -1)], axis=1)
+
+
+def _rbf_recur(ln, grid_ref, denominator, ng):
+    """Yield ``(gi, basis, u)`` for every RBF slice — the Gaussian analogue
+    of the fourier family's angle-addition recurrence, cutting the kernels'
+    elementwise transcendentals from ``ng`` exps to TWO.
+
+    With ``u_g = (x - c_g)/h`` and uniform spacing ``d = Δ/h`` (FastKAN's
+    grid is a fixed linspace with ``h = Δ``, reference ``fastkan.py:29-30``,
+    mirrored by ``layers/kan.py``), factoring ``-u_{m±j}^2`` around the
+    middle index ``m`` gives
+
+        b_{m±j} = b_m · r^{±j} · t_j,   r = exp(2 d u_m),  t_j = exp(-(j d)^2)
+
+    so one carried multiply per slice replaces each exp. ``d`` and the
+    scalar ``t_j`` ride the augmented grid row (``_rbf_aug``). Numerics:
+    every emitted value equals a true ``b_g ≤ 1``; the carried ``b_m r^j``
+    is bounded by ``exp((j d)^2)`` (≤ e16 at the FastKAN geometry ng=8,
+    d=1), and the ±80 clamp on r's argument only engages once ``|u_m| >
+    40/d`` where ``b_m = exp(-u_m^2)`` (and every true slice) has already
+    flushed to zero — it exists solely to keep ``1/r`` finite. The ``u``
+    yielded alongside feeds the gradient coefficient ``-2 u b / h``.
+    Assumes ``d ≲ 2.3`` (any linspace grid with the reference's
+    ``h = Δ`` convention has d = 1).
+
+    MEASURED NEGATIVE on v5e — opt-in via ``KANVIT_RBF_RECUR=1``: ViT-S
+    fast 1,216 vs 1,253 img/s e2e, embedder 10.48 vs 10.33 ms, MSA 14.76
+    vs 14.18 ms/block (same-session A/Bs). Unlike the fourier win (a
+    ~20-cycle sin/cos per slice), the VPU's exp here costs no more than
+    the carried multiplies that would replace it, so the recurrence only
+    adds serial dependencies and live carries. Kept because it documents
+    the exp-rate calibration and is the fallback shape if a future chip
+    changes that balance."""
+    inv = 1.0 / denominator
+    if ng < 3 or os.environ.get("KANVIT_RBF_RECUR", "0") != "1":
+        for gi in range(ng):
+            u = (ln - grid_ref[0, gi]) * inv
+            yield gi, jnp.exp(-u * u), u
+        return
+    m = ng // 2
+    d = grid_ref[0, ng]
+    um = (ln - grid_ref[0, m]) * inv
+    bm = jnp.exp(-um * um)
+    r = jnp.exp(jnp.clip((2.0 * d) * um, -80.0, 80.0))
+    yield m, bm, um
+    p = bm
+    for j in range(1, ng - m):
+        p = p * r
+        yield m + j, p * grid_ref[0, ng + j], um - j * d
+    p = bm
+    rinv = 1.0 / r
+    for j in range(1, m + 1):
+        p = p * rinv
+        yield m - j, p * grid_ref[0, ng + j], um + j * d
+
+
 def bspline_family(grid_size: int, spline_order: int,
                    with_base: bool = False) -> Family:
     """Cox–de Boor levels built once per tile and shared across output knots
@@ -2505,11 +2575,8 @@ _bspline_op.defvjp(_bspline_op_fwd, _bspline_op_bwd)
 def _rbf_base_fwd_kernel(ln_ref, xr_ref, w_ref, grid_ref, y_ref, basis_scr,
                          *, ng, denominator, nin):
     ln = ln_ref[:].astype(jnp.float32)
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.exp(-u * u).astype(
-            basis_scr.dtype
-        )
+    for gi, b, _ in _rbf_recur(ln, grid_ref, denominator, ng):
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
     xr = xr_ref[:].astype(jnp.float32)
     basis_scr[:, ng * nin :] = (xr * jax.nn.sigmoid(xr)).astype(basis_scr.dtype)
     y_ref[:] = jax.lax.dot_general(
@@ -2536,9 +2603,7 @@ def _rbf_base_bwd_kernel(ln_ref, xr_ref, w_ref, g_ref, grid_ref,
         preferred_element_type=jnp.float32,
     )  # (bn, F) f32
     dln = jnp.zeros(ln.shape, jnp.float32)
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        b = jnp.exp(-u * u)
+    for gi, b, u in _rbf_recur(ln, grid_ref, denominator, ng):
         basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
         dln += gw[:, gi * nin : (gi + 1) * nin] * ((-2.0 / denominator) * u * b)
     sig = jax.nn.sigmoid(xr)
@@ -2581,6 +2646,7 @@ def _rbf_base_op(ln2d, xr2d, w3d, grid2d, num_grids, denominator):
     np_ = _round_up(n, bn)
     lnp = jnp.pad(ln2d, ((0, np_ - n), (0, 0)))
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    aug2d = _rbf_aug(grid2d, denominator)
     y = pl.pallas_call(
         functools.partial(
             _rbf_base_fwd_kernel, ng=num_grids, denominator=denominator,
@@ -2591,7 +2657,7 @@ def _rbf_base_op(ln2d, xr2d, w3d, grid2d, num_grids, denominator):
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -2601,7 +2667,7 @@ def _rbf_base_op(ln2d, xr2d, w3d, grid2d, num_grids, denominator):
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(lnp, xrp, w3d.reshape(f, out), grid2d)
+    )(lnp, xrp, w3d.reshape(f, out), aug2d)
     return y[:n]
 
 
@@ -2623,6 +2689,7 @@ def _rbf_base_op_bwd(num_grids, denominator, res, g):
     lnp = jnp.pad(ln2d, ((0, np_ - n), (0, 0)))
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero dw contrib
+    aug2d = _rbf_aug(grid2d, denominator)
     dln, dxr, dw2d = pl.pallas_call(
         functools.partial(
             _rbf_base_bwd_kernel, ng=num_grids, denominator=denominator,
@@ -2634,7 +2701,7 @@ def _rbf_base_op_bwd(num_grids, denominator, res, g):
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=[
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -2654,7 +2721,7 @@ def _rbf_base_op_bwd(num_grids, denominator, res, g):
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(lnp, xrp, w3d.reshape(f, out), gp, grid2d)
+    )(lnp, xrp, w3d.reshape(f, out), gp, aug2d)
     return (
         dln[:n], dxr[:n], dw2d.reshape(ng1, nin, out),
         jnp.zeros_like(grid2d),
@@ -2706,11 +2773,8 @@ def _rbf_ln_fwd_kernel(xr_ref, w_ref, gam_ref, bet_ref, grid_ref, y_ref,
     _seg_ln_into(xr, gam_ref[:].astype(jnp.float32),
                  bet_ref[:].astype(jnp.float32), seg, ln_scr, None)
     ln = ln_scr[:]
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        basis_scr[:, gi * nin : (gi + 1) * nin] = jnp.exp(-u * u).astype(
-            basis_scr.dtype
-        )
+    for gi, b, _ in _rbf_recur(ln, grid_ref, denominator, ng):
+        basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
     basis_scr[:, ng * nin :] = (xr * jax.nn.sigmoid(xr)).astype(basis_scr.dtype)
     y_ref[:] = jax.lax.dot_general(
         basis_scr[:], w_ref[:].astype(basis_scr.dtype), (((1,), (0,)), ((), ())),
@@ -2742,9 +2806,7 @@ def _rbf_ln_bwd_kernel(xr_ref, w_ref, g_ref, gam_ref, bet_ref, grid_ref,
         preferred_element_type=jnp.float32,
     )  # (bn, F) f32
     dln = jnp.zeros(xr.shape, jnp.float32)
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        b = jnp.exp(-u * u)
+    for gi, b, u in _rbf_recur(ln, grid_ref, denominator, ng):
         basis_scr[:, gi * nin : (gi + 1) * nin] = b.astype(basis_scr.dtype)
         dln += gw[:, gi * nin : (gi + 1) * nin] * ((-2.0 / denominator) * u * b)
     sig = jax.nn.sigmoid(xr)
@@ -2805,6 +2867,7 @@ def _rbf_ln_base_op(xr2d, gam2d, bet2d, w3d, grid2d, num_grids, denominator,
              _round_up(n, 8))
     np_ = _round_up(n, bn)
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    aug2d = _rbf_aug(grid2d, denominator)
     y = pl.pallas_call(
         functools.partial(
             _rbf_ln_fwd_kernel, ng=num_grids, denominator=denominator,
@@ -2816,7 +2879,7 @@ def _rbf_ln_base_op(xr2d, gam2d, bet2d, w3d, grid2d, num_grids, denominator,
             pl.BlockSpec((f, out), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=pl.BlockSpec((bn, out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
@@ -2829,7 +2892,7 @@ def _rbf_ln_base_op(xr2d, gam2d, bet2d, w3d, grid2d, num_grids, denominator,
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xrp, w3d.reshape(f, out), gam2d, bet2d, grid2d)
+    )(xrp, w3d.reshape(f, out), gam2d, bet2d, aug2d)
     return y[:n]
 
 
@@ -2852,6 +2915,7 @@ def _rbf_ln_base_op_bwd(num_grids, denominator, seg, res, g):
     np_ = _round_up(n, bn)
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))  # zero rows -> zero contributions
+    aug2d = _rbf_aug(grid2d, denominator)
     dx, dw2d, dgam, dbet = pl.pallas_call(
         functools.partial(
             _rbf_ln_bwd_kernel, ng=num_grids, denominator=denominator,
@@ -2864,7 +2928,7 @@ def _rbf_ln_base_op_bwd(num_grids, denominator, seg, res, g):
             pl.BlockSpec((bn, out), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nin), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=[
             pl.BlockSpec((bn, nin), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -2889,7 +2953,7 @@ def _rbf_ln_base_op_bwd(num_grids, denominator, seg, res, g):
             dimension_semantics=("arbitrary",),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xrp, w3d.reshape(f, out), gp, gam2d, bet2d, grid2d)
+    )(xrp, w3d.reshape(f, out), gp, gam2d, bet2d, aug2d)
     return (
         dx[:n], dgam, dbet, dw2d.reshape(ng1, nin, out),
         jnp.zeros_like(grid2d),
@@ -2917,9 +2981,8 @@ def _rbf_ln_fwd_kernel_sg(xr_ref, w_ref, gam_ref, bet_ref, grid_ref, y_ref,
     _seg_ln_into(xr, gam_ref[:].astype(jnp.float32),
                  bet_ref[:].astype(jnp.float32), seg, ln_scr, None)
     ln = ln_scr[:]
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        b = jnp.exp(-u * u).astype(basis_scr.dtype)
+    for gi, bf, _ in _rbf_recur(ln, grid_ref, denominator, ng):
+        b = bf.astype(basis_scr.dtype)
         for r in range(qslots):
             basis_scr[:, r * f + gi * seg : r * f + (gi + 1) * seg] = (
                 b[:, r * seg : (r + 1) * seg]
@@ -2967,9 +3030,7 @@ def _rbf_ln_bwd_kernel_sg(xr_ref, w_ref, g_ref, gam_ref, bet_ref, grid_ref,
         for r in range(qslots)
     ]
     dlns = [jnp.zeros((xr.shape[0], seg), jnp.float32) for _ in range(qslots)]
-    for gi in range(ng):
-        u = (ln - grid_ref[0, gi]) / denominator
-        b = jnp.exp(-u * u)
+    for gi, b, u in _rbf_recur(ln, grid_ref, denominator, ng):
         coef = (-2.0 / denominator) * u * b
         bd = b.astype(basis_scr.dtype)
         for r in range(qslots):
@@ -3049,6 +3110,7 @@ def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
              _round_up(n, 8))
     np_ = _round_up(n, bn)
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
+    aug2d = _rbf_aug(grid2d, denominator)
     y = pl.pallas_call(
         functools.partial(
             _rbf_ln_fwd_kernel_sg, ng=num_grids, denominator=denominator,
@@ -3064,7 +3126,7 @@ def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
                          memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=pl.BlockSpec((bn, qslots * out), lambda hp, i: (i, hp),
                                memory_space=pltpu.VMEM),
@@ -3077,7 +3139,7 @@ def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xrp, w_sg, gam2d, bet2d, grid2d)
+    )(xrp, w_sg, gam2d, bet2d, aug2d)
     return y[:n]
 
 
@@ -3102,6 +3164,7 @@ def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
     np_ = _round_up(n, bn)
     xrp = jnp.pad(xr2d, ((0, np_ - n), (0, 0)))
     gp = jnp.pad(g, ((0, np_ - n), (0, 0)))
+    aug2d = _rbf_aug(grid2d, denominator)
     dx, dw, dgam, dbet = pl.pallas_call(
         functools.partial(
             _rbf_ln_bwd_kernel_sg, ng=num_grids, denominator=denominator,
@@ -3119,7 +3182,7 @@ def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, qslots * seg), lambda hp, i: (0, hp),
                          memory_space=pltpu.VMEM),
-            _smem_spec(grid2d),
+            _smem_spec(aug2d),
         ],
         out_specs=[
             pl.BlockSpec((bn, qslots * seg), lambda hp, i: (i, hp),
@@ -3148,7 +3211,7 @@ def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=dispatch.interpret_mode(),
-    )(xrp, w_sg, gp, gam2d, bet2d, grid2d)
+    )(xrp, w_sg, gp, gam2d, bet2d, aug2d)
     return dx[:n], dgam, dbet, dw, jnp.zeros_like(grid2d)
 
 

@@ -175,6 +175,35 @@ def test_fused_fastkan_ln_in_kernel(x):
     _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
 
 
+def test_fused_fastkan_recurrence_extremes(x, monkeypatch):
+    """Opt-in uniform-grid RBF recurrence (`_rbf_recur`: 2 exps + carried
+    multiplies instead of ng exps; KANVIT_RBF_RECUR=1 — measured negative
+    end-to-end on v5e, kept as a hatch). Must match the per-slice exps
+    everywhere, including the far tail where the clamped carry flushes to
+    zero exactly as the direct exps underflow. Mixed LN gammas push |ln(x)|
+    from the grid interior through the representable tail (|u| up to ~9)
+    into the clamp region (|u| in the hundreds)."""
+    from kanvit.kernels import fused_basis as FB
+
+    monkeypatch.setenv("KANVIT_RBF_RECUR", "1")
+    key = jax.random.PRNGKey(12)
+    k1, k2, k3 = jax.random.split(key, 3)
+    lg = jnp.asarray([1.0, 2.5, 8.0, 40.0, 1.0, 2.5, 8.0, 40.0])
+    lb = jnp.asarray([0.0, -1.0, 2.0, 0.5, 0.0, 1.0, -2.0, -0.5])
+    rg, den = jnp.linspace(-2, 2, 8), 4.0 / 7.0
+    spw = jax.random.normal(k1, (OUT, IN * 8)) * 0.1
+    bw = jax.random.normal(k2, (OUT, IN)) * 0.1
+    bb = jax.random.normal(k3, (OUT,)) * 0.1
+    f_pal = lambda x, lg, lb, s, w, b: FB.fastkan(x, lg, lb, rg, den, s, w, b)
+    f_ref = lambda x, lg, lb, s, w, b: K.fastkan_forward(
+        x, lg, lb, rg, den, s, w, b
+    )
+    y_pal = f_pal(x, lg, lb, spw, bw, bb)
+    assert bool(jnp.all(jnp.isfinite(y_pal)))
+    assert np.abs(np.asarray(y_pal - f_ref(x, lg, lb, spw, bw, bb))).max() < 1e-5
+    _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
+
+
 def test_fused_sine(x):
     from kanvit.kernels import fused_basis as FB
 
