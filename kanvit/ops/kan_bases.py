@@ -230,6 +230,15 @@ def layernorm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float 
     return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
+def ffn_pre_ln(x, gamma, beta, w1, b1, w2, b2):
+    """Pre-LN transformer feed-forward (reference ``model.py:14-37``):
+    ``x + W2 @ relu(W1 @ LN(x) + b1) + b2``, torch-convention ``(out, in)``
+    weights, LN eps 1e-5. Ground truth for ``kernels/fused_ffn``."""
+    h = layernorm(x, gamma, beta)
+    h = jax.nn.relu(h @ w1.T + b1)
+    return x + (h @ w2.T + b2)
+
+
 def fastkan_forward(
     x: jnp.ndarray,
     ln_gamma: jnp.ndarray,

@@ -204,6 +204,32 @@ def test_fused_fastkan_recurrence_extremes(x, monkeypatch):
     _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
 
 
+def test_fused_ffn_pre_ln(x, monkeypatch):
+    """Fused pre-LN feed-forward (`kernels/fused_ffn`): LN2 + both FF
+    Linears + ReLU + residual in one kernel, all six parameter grads
+    accumulated in-kernel. Row block shrunk so the grid runs multiple
+    steps (accumulator init/finish paths exercised); values + VJP vs
+    K.ffn_pre_ln for every argument."""
+    from kanvit.kernels import fused_ffn as FFN
+
+    monkeypatch.setenv("KANVIT_FF", "1")
+    monkeypatch.setenv("KANVIT_FF_BN", "8")
+    key = jax.random.PRNGKey(13)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    d, f = IN, 2 * IN
+    gam = 1.0 + 0.3 * jax.random.normal(k1, (d,))
+    bet = 0.2 * jax.random.normal(k2, (d,))
+    w1 = jax.random.normal(k3, (f, d)) * 0.3
+    b1 = jax.random.normal(k4, (f,)) * 0.3
+    w2 = jax.random.normal(k5, (d, f)) * 0.3
+    b2 = jax.random.normal(k6, (d,)) * 0.3
+    args = (x, gam, bet, w1, b1, w2, b2)
+    y = FFN.ffn_pre_ln(*args)
+    assert y is not None  # forced-pallas fixture bypasses the thresholds
+    assert np.abs(np.asarray(y - K.ffn_pre_ln(*args))).max() < 1e-5
+    _check_grads(FFN.ffn_pre_ln, K.ffn_pre_ln, args)
+
+
 def test_fused_sine(x):
     from kanvit.kernels import fused_basis as FB
 
