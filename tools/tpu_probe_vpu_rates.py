@@ -2,29 +2,40 @@
 
 Times one elementwise op over a ViT-S basis-sized f32 tile, chained through
 a lax.scan carry inside ONE jit (the per-dispatch floor on this tunneled
-transport is ~2.9 ms — see CLAUDE.md). Measured on the v5e (2026-08-18,
-50432 x 3456 f32, 20 chained iterations):
+transport is ~2.9 ms — see CLAUDE.md). The harness details matter on this
+transport and got a first version of this probe badly wrong:
 
-    mul     16.6 ms/iter      exp      6.0 ms/iter
-    sin     12.1 ms/iter      sin+cos 12.6 ms/iter
-    tanh     6.3 ms/iter
+- The warmup call MUST be synced (``float(run(x))``) — an un-synced warmup
+  overlaps the timed window and produced numbers where sin looked cheaper
+  than a multiply.
+- An identity control measures the carry-update floor (read+write the
+  700 MB carry, ~3.6 ms ≈ the chip's ~800 GB/s HBM spec) so per-op cost is
+  the DELTA, and chaining the op 4x separates ALU cost from bandwidth.
 
-Every op lands within ~2-3x of the same HBM-bound band, and exp comes out
-CHEAPER than the carry-chain mul — i.e. at these shapes XLA's fused
-transcendentals are bandwidth-dominated, not ALU-dominated. This is the
-calibration behind two round-3 verdicts: the RBF uniform-grid recurrence
-(8 exps -> 2, KANVIT_RBF_RECUR) measured negative, and "transcendental
-floor" explanations for the sine/fast variants were retired in favor of
-structural ones (docs/PERFORMANCE.md "Per-component breakdown").
+Measured on the v5e (2026-08-18, 50432 x 3456 f32, 20 chained iterations,
+median of 3 windows):
+
+    identity  3.61 ms/iter (the HBM floor)
+    mul      +0.05   mul x4 +0.06     -> free, fused into the pass
+    exp      -0.07   exp x4 -0.07     -> FREE (hardware exponent path)
+    sin      +2.22   sin x4 +15.2     -> ~30 cycles/element, REAL cost
+
+So exp-count is not a cost model (the RBF uniform-grid recurrence that cut
+8 exps to 2 measured negative end-to-end — ``KANVIT_RBF_RECUR``), but
+sin/cos-count IS: the sine family's mapper (~1.1 G sins fwd) and MSA
+projections (~77 M sins/projection fwd, sin+cos in bwd) are genuinely
+sin-rate-limited, on top of the dfreq gradient machinery
+(docs/PERFORMANCE.md "Per-component breakdown").
 """
 
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def chain(fn, x, steps=20):
+def chain(fn, x, steps=20, reps=3):
     @jax.jit
     def run(x):
         def body(c, _):
@@ -32,22 +43,30 @@ def chain(fn, x, steps=20):
         c, _ = jax.lax.scan(body, x, None, length=steps)
         return c.sum()
 
-    run(x)  # compile + warmup
-    t0 = time.perf_counter()
-    float(run(x))  # hard scalar D2H sync
-    return (time.perf_counter() - t0) / steps * 1e3
+    float(run(x))  # compile + SYNCED warmup (hard scalar D2H)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2] / steps * 1e3
 
 
 def main():
     x = jax.random.normal(jax.random.PRNGKey(0), (50432, 3456), jnp.float32)
+    floor = chain(lambda v: v, x)
+    print(f"identity {floor:7.3f} ms/iter (carry-update HBM floor)")
     for name, fn in [
         ("mul", lambda v: v * 1.0001),
+        ("mul4", lambda v: ((v * 1.0001) * 1.0002) * 1.0003 * 0.9999),
         ("exp", lambda v: jnp.exp(-v * v)),
+        ("exp4", lambda v: jnp.exp(-jnp.exp(-jnp.exp(-jnp.exp(-v * v))))),
         ("sin", jnp.sin),
-        ("sincos", lambda v: jnp.sin(v) + jnp.cos(v)),
-        ("tanh", jnp.tanh),
+        ("sin4", lambda v: jnp.sin(jnp.sin(jnp.sin(jnp.sin(v))))),
     ]:
-        print(f"{name:7s} {chain(fn, x):7.3f} ms/iter", flush=True)
+        t = chain(fn, x)
+        print(f"{name:8s} {t:7.3f} ms/iter  (-floor: {t - floor:+7.3f})",
+              flush=True)
 
 
 if __name__ == "__main__":
