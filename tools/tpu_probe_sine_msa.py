@@ -1,5 +1,13 @@
 """Decompose the ViT-S sine MSA qkv projection cost on TPU.
 
+SUPERSEDED (round 3): this probes the vmapped-era path with the
+pre-calibration harness. The slot-grouped era decomposition — with the
+synced-warmup/identity-floor harness that the calibration work showed is
+required on this transport — lives in ``tpu_probe_sine_sg_stages.py``,
+and the "ideal dot+transcendental ~1-2 ms" estimate below undercounts the
+real sin rate (~30 cycles/element, ``tpu_probe_vpu_rates.py``). Kept for
+the historical A/B record.
+
 After the in-kernel-dfreq joint backward, sine MSA sits at ~22.4 ms/block
 (benchmarks/vits_breakdown_sine.json) of which attention is ~4.3 ms —
 leaving ~18 ms for the three per-head SineKAN projections whose ideal
