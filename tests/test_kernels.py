@@ -203,6 +203,14 @@ def test_fused_fastkan_recurrence_extremes(x, monkeypatch):
     assert np.abs(np.asarray(y_pal - f_ref(x, lg, lb, spw, bw, bb))).max() < 1e-5
     _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
 
+    # ng < 3 takes the direct per-slice path with an unaugmented grid row
+    # (_rbf_aug is a no-op there) — cover the degenerate geometry too.
+    rg2, den2 = jnp.linspace(-1, 1, 2), 2.0
+    spw2 = spw[:, : IN * 2]
+    f_pal2 = lambda x: FB.fastkan(x, lg, lb, rg2, den2, spw2, bw, bb)
+    f_ref2 = lambda x: K.fastkan_forward(x, lg, lb, rg2, den2, spw2, bw, bb)
+    assert np.abs(np.asarray(f_pal2(x) - f_ref2(x))).max() < 1e-5
+
 
 def test_fused_ffn_pre_ln(x, monkeypatch):
     """Fused pre-LN feed-forward (`kernels/fused_ffn`): LN2 + both FF
