@@ -32,7 +32,6 @@ has none.
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -28,7 +28,6 @@ sin-rate-limited, on top of the dfreq gradient machinery
 (docs/PERFORMANCE.md "Per-component breakdown").
 """
 
-import sys
 import time
 
 import jax
