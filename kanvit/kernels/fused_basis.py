@@ -348,7 +348,12 @@ def _rbf_recur(ln, grid_ref, denominator, ng):
     flushed to zero — it exists solely to keep ``1/r`` finite. The ``u``
     yielded alongside feeds the gradient coefficient ``-2 u b / h``.
     Assumes ``d ≲ 2.3`` (any linspace grid with the reference's
-    ``h = Δ`` convention has d = 1).
+    ``h = Δ`` convention has d = 1) AND the carry bound ``(j_max d)^2 < 80``
+    with ``j_max = ng - ng//2 - 1``: beyond it the carried ``b_m r^j``
+    overflows f32 to inf while ``t_j`` underflows to 0, so inf * 0 = NaN
+    where the direct exp is finite. ``d`` is a traced value, so the guard
+    below enforces the bound at the documented d = 1 (ng <= 18); wider
+    custom grids (d > 1) shrink the safe ng further.
 
     MEASURED NEGATIVE on v5e — opt-in via ``KANVIT_RBF_RECUR=1``: ViT-S
     fast 1,216 vs 1,253 img/s e2e, embedder 10.48 vs 10.33 ms, MSA 14.76
@@ -359,7 +364,11 @@ def _rbf_recur(ln, grid_ref, denominator, ng):
     the exp-rate calibration and is the fallback shape if a future chip
     changes that balance."""
     inv = 1.0 / denominator
-    if ng < 3 or os.environ.get("KANVIT_RBF_RECUR", "0") != "1":
+    # (ng - ng//2 - 1)^2 < 80 keeps the f32 carry finite at d = 1 (see
+    # docstring); fall back to the direct per-slice exps otherwise.
+    recur_safe = (ng - ng // 2 - 1) ** 2 < 80
+    if ng < 3 or not recur_safe \
+            or os.environ.get("KANVIT_RBF_RECUR", "0") != "1":
         for gi in range(ng):
             u = (ln - grid_ref[0, gi]) * inv
             yield gi, jnp.exp(-u * u), u
@@ -2160,7 +2169,12 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
         return None
     gb, bn_fwd, bn_dx, bn_dw_j = got
     if sine:
-        cands = (4, 2)
+        # Narrow slabs win for sine (see docstring) but gb_dw must still
+        # divide ng: _fused_bwd_kb runs ng // gb_dw grid steps and reshapes
+        # dfreqk to (1, ng) — a non-divisor slab would leave tail dw rows
+        # unwritten and crash the reshape. Fall back to the joint gb (a
+        # divisor by construction) when neither narrow slab divides.
+        cands = tuple(d for d in (4, 2) if ng % d == 0)
     else:
         cands = tuple(d for d in range(ng, 1, -1) if ng % d == 0)
     for gb_dw in cands:
@@ -3087,7 +3101,8 @@ def _rbf_ln_sg_bn(seg, ng1, out, x2d, w_sg, qslots, with_dw):
         + _round_up(qslots * out, 128) * xb
     )
     # n_temps is calibrated against Mosaic's measured stack allocation at the
-    # ViT-S fast qkv shape (seg=64, ng=8, qslots=6): the bwd's live f32 set
+    # ViT-S fast qkv shape (seg=64, ng=8, qslots=2 — _sg_slots caps q at
+    # 128//seg): the bwd's live f32 set
     # (xr/ln/xhat/gxh/sig/s/dsilu/u/b/coef/dln + per-slot dlns and the
     # scheduler's double buffers) costs ~20 (bn, q*seg) tiles — the first
     # model (6) compiled to 17.2M scoped vmem against the 16M limit.

@@ -730,6 +730,21 @@ def test_kb_strategy_engages_at_mapper_shapes():
     assert FB._kb_eligible(768, 28, 384, jnp.bfloat16, jnp.bfloat16)
 
 
+def test_kb_sine_dw_slab_divides_grid():
+    """Regression: the sine dw-slab candidates (4, 2) must be filtered by
+    ng-divisibility — a grid-6 sine mapper at kb scale used to pick
+    gb_dw=4, leaving ng %% 4 tail dw rows unwritten and crashing the
+    (1, ng) dfreq reshape at trace time."""
+    from kanvit.kernels import fused_basis as FB
+
+    xm = jnp.zeros((50176, 768), jnp.bfloat16)
+    for ng in (6, 10, 12, 14, 28):
+        wm = jnp.zeros((ng, 768, 384), jnp.bfloat16)
+        kb = FB._kb_strategy(xm, wm, sine=True)
+        assert kb is not None, ng
+        assert ng % kb[4] == 0, (ng, kb[4])
+
+
 def test_fused_cheby(x):
     from kanvit.kernels import fused_basis as FB
 
