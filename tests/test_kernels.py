@@ -57,6 +57,7 @@ def test_flash_attention_kernel_causal():
     assert np.abs(np.asarray(o - ref)).max() < 1e-5
 
 
+@pytest.mark.slow  # interpret-mode single-tile sweep (~14s CPU); fwd_bwd/causal cover the family fast
 def test_flash_attention_small_single_tile_path():
     """With bucket sizes covering the whole (short) sequence, the fully
     fused single-tile kernels engage (joint dq/dk/dv backward, one program
@@ -150,6 +151,7 @@ def test_fused_fastkan(x):
     _check_grads(f_pal, f_ref, (x, spw, bw, bb))
 
 
+@pytest.mark.slow  # LN-fused variant full VJP (~8s CPU); plain fastkan covers the family fast
 def test_fused_fastkan_ln_in_kernel(x):
     """The LN-fused single-input op (`_rbf_ln_base_op`): segment-wise
     LayerNorm over packed lane groups + LN VJP in-kernel. Non-trivial
@@ -175,6 +177,7 @@ def test_fused_fastkan_ln_in_kernel(x):
     _check_grads(f_pal, f_ref, (x, lg, lb, spw, bw, bb))
 
 
+@pytest.mark.slow  # opt-in recurrence hatch, extreme-tail sweep (~11s CPU)
 def test_fused_fastkan_recurrence_extremes(x, monkeypatch):
     """Opt-in uniform-grid RBF recurrence (`_rbf_recur`: 2 exps + carried
     multiplies instead of ng exps; KANVIT_RBF_RECUR=1 — measured negative
@@ -267,6 +270,7 @@ def test_fused_fourier(x):
     _check_grads(f_pal, f_ref, (x, co, bias))
 
 
+@pytest.mark.slow  # kb streaming tier, 3 backward strategies (~8s CPU)
 def test_kb_streaming_sine(x):
     """K-blocked streaming tier, sine: fwd/dx/dw/dfreq vs the closed-form
     reference at tiny forced (gb, bn). Covers the k-innermost y/dx
@@ -329,6 +333,7 @@ def test_kb_streaming_sine(x):
     assert np.abs(np.asarray(df3 - rf)).max() < 1e-3
 
 
+@pytest.mark.slow  # plain-tier joint bwd + vmapped VJP (~8s CPU); fused_sine covers the family fast
 def test_sine_plain_joint_bwd(x):
     """Plain-tier sine joint backward (_bwd_kernel_sine): dx/dw and the
     in-kernel SMEM-accumulated dfreq vs jax.grad of the closed form —
@@ -409,6 +414,7 @@ def test_slice_dot_pack_qkv_shape():
         assert np.abs(np.asarray(a - b)).max() < 1e-4
 
 
+@pytest.mark.slow  # slot-grouped tier, 2 families x full VJP (~30s CPU)
 def test_grouped_qkv_slot_kernels():
     """Slot-grouped qkv tier (heads as slots, per-slot weights, lane-block
     indexing into the (N, H*dh) activation): values + full VJP vs the
@@ -465,6 +471,7 @@ def test_grouped_qkv_slot_kernels():
         assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
 
 
+@pytest.mark.slow  # 3 configs x full VJP in interpret mode (~14s CPU)
 def test_lanes_attention_parity():
     """Lanes-layout single-tile attention ((B, T, H*dh) in and out, heads as
     lane slices): values + grads vs the reference on the transposed layout,
@@ -518,6 +525,7 @@ def test_lanes_attention_parity():
         os.environ["KANVIT_ATTN_LANES"] = "1"
 
 
+@pytest.mark.slow  # slot-grouped RBF+LN full VJP (~20s CPU)
 def test_grouped_fastkan_projection():
     """Slot-grouped FastKAN projection (per-head LN segments + slot slice
     dots): values + full VJP (incl. dgamma/dbeta) vs the per-head jnp
@@ -560,6 +568,7 @@ def test_grouped_fastkan_projection():
         assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
 
 
+@pytest.mark.slow  # slot-grouped sine full VJP incl. dfreq (~10s CPU)
 def test_grouped_sinekan_projection():
     """Slot-grouped SineKAN projection (per-slot freq rows + in-kernel
     dfreq): values + full VJP (incl. dfreq) vs the per-head jnp ground
@@ -599,32 +608,42 @@ def test_grouped_sinekan_projection():
         assert np.abs(np.asarray(a_ - b_)).max() < 1e-4
 
 
-def test_grouped_qkv_msa_wiring(monkeypatch):
+@pytest.mark.parametrize(
+    "kind",
+    [
+        # vanilla (the BD-lanes path) stays in the fast set; the KAN kinds
+        # each run full interpret-mode MSA fwd+bwd twice (~25-40s apiece).
+        "vanilla",
+        pytest.param("cheby", marks=pytest.mark.slow),
+        pytest.param("fast", marks=pytest.mark.slow),
+        pytest.param("sine", marks=pytest.mark.slow),
+    ],
+)
+def test_grouped_qkv_msa_wiring(monkeypatch, kind):
     """MSA with the slot-grouped qkv path (KANVIT_QKV_SG=1, default) must be
     value- and grad-equal to the vmapped per-head path (=0): validates the
     weight concat order, lane slicing, and output head layout end-to-end."""
     from kanvit.layers.attention import MSA
 
     key = jax.random.PRNGKey(41)
-    xb = jnp.tanh(jax.random.normal(key, (2, 6, 256)))
-    for kind in ("cheby", "fast", "sine", "vanilla"):
-        msa = MSA(d=256, n_heads=8, type=kind)
-        params = msa.init(jax.random.PRNGKey(42), xb)
+    xb = jnp.tanh(jax.random.normal(key, (2, 6, 128)))
+    msa = MSA(d=128, n_heads=4, type=kind)
+    params = msa.init(jax.random.PRNGKey(42), xb)
 
-        def loss(p, xb):
-            return (msa.apply(p, xb) ** 2).sum()
+    def loss(p, xb):
+        return (msa.apply(p, xb) ** 2).sum()
 
-        monkeypatch.setenv("KANVIT_QKV_SG", "0")
-        monkeypatch.setenv("KANVIT_QKV_BD", "0")
-        y0 = msa.apply(params, xb)
-        g0 = jax.grad(loss)(params, xb)
-        monkeypatch.setenv("KANVIT_QKV_SG", "1")
-        monkeypatch.setenv("KANVIT_QKV_BD", "1")
-        y1 = msa.apply(params, xb)
-        g1 = jax.grad(loss)(params, xb)
-        assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
-        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-            assert np.abs(np.asarray(a - b)).max() < 1e-3
+    monkeypatch.setenv("KANVIT_QKV_SG", "0")
+    monkeypatch.setenv("KANVIT_QKV_BD", "0")
+    y0 = msa.apply(params, xb)
+    g0 = jax.grad(loss)(params, xb)
+    monkeypatch.setenv("KANVIT_QKV_SG", "1")
+    monkeypatch.setenv("KANVIT_QKV_BD", "1")
+    y1 = msa.apply(params, xb)
+    g1 = jax.grad(loss)(params, xb)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
 @pytest.mark.slow  # full MSA fwd+bwd through interpret-mode kernels: ~150s
@@ -652,6 +671,7 @@ def test_sine_qkv_hatch_parity(x, monkeypatch):
         assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
+@pytest.mark.slow  # kb streaming tier, 3 backward strategies (~11s CPU)
 def test_kb_streaming_fourier(x):
     """K-blocked streaming tier, fourier: the interleaved slice order keeps
     local parity == global parity; dw is un-permuted back to the
@@ -756,6 +776,7 @@ def test_fused_cheby(x):
     _check_grads(f_pal, f_ref, (x, cc))
 
 
+@pytest.mark.slow  # mask-path grads in interpret mode (~11s CPU); small-path test also covers masks
 def test_flash_attention_kernel_masked():
     from kanvit.kernels.flash_attention import flash_attention
 
@@ -816,6 +837,7 @@ def test_fused_bspline_bf16_inputs(x):
     assert np.abs(np.asarray(y, np.float32) - np.asarray(ref)).max() < 2e-2
 
 
+@pytest.mark.slow  # out-blocked tier at embedder width (~18s CPU)
 def test_fused_bspline_wide_embedder_out_blocked():
     """At (in=768, out=384) the full (F, out) weight exceeds the VMEM
     budget: fwd and bwd must route through the out-blocked kernels (grid
@@ -853,6 +875,7 @@ def test_fused_bspline_wide_embedder_out_blocked():
         assert np.abs(np.asarray(a - b)).max() < 1e-3
 
 
+@pytest.mark.slow  # split-residual tier at embedder width (~16s CPU)
 def test_fused_bspline_wide_split_backward():
     """Under the bf16 dot policy the wide-embedder backward routes through
     the SPLIT strategy (forward emits the basis residual to HBM, dx is a
