@@ -667,8 +667,17 @@ def flash_attention_lanes(
         return None
     if not dispatch.use_pallas():
         return None
+    from kanvit.parallel import runtime
+
+    mesh = runtime.active_mesh()
     b, t, dm = q.shape
-    if not _lanes_ok(t, k.shape[1], dm, n_heads, q.dtype.itemsize):
+    nm = mesh.shape.get("model", 1) if mesh is not None else 1
+    # Applicability is judged at the per-shard shape under an active mesh —
+    # the kernel launches on local heads inside shard_map (runtime module
+    # docstring: a bare pallas_call never sees mesh-sharded operands).
+    if n_heads % nm or not _lanes_ok(
+        t, k.shape[1], dm // nm, n_heads // nm, q.dtype.itemsize
+    ):
         return None
     # Mirror _use_small's bucket guard: explicit small buckets mean the
     # caller wants the general blocked kernels exercised.
@@ -677,7 +686,28 @@ def flash_attention_lanes(
         k_block is not None and tp > k_block
     ):
         return None
-    return _flash_lanes(q, k, v, mask, n_heads, causal)
+    if mesh is None:
+        return _flash_lanes(q, k, v, mask, n_heads, causal)
+    nd = mesh.shape.get("data", 1)
+    if b % nd:
+        return None
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    hl = n_heads // nm
+    marrs = () if mask is None else (mask,)
+
+    def body(ql, kl, vl, *m):
+        with runtime.local_region():
+            return _flash_lanes(ql, kl, vl, m[0] if m else None, hl, causal)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data", None, "model"),) * 3 + (P("data"),) * len(marrs),
+        out_specs=P("data", None, "model"),
+        check_vma=False,
+    )(q, k, v, *marrs)
 
 
 def _plan(tq, tk, d, q_block, k_block):
@@ -861,7 +891,38 @@ def flash_attention(
     if dispatch.use_pallas() and (
         max(tq, tk) >= _min_pallas_seq() or dispatch.get_impl() == "pallas"
     ):
-        return _flash(q, k, v, mask, causal, q_block, k_block)
+        from kanvit.parallel import runtime
+
+        mesh = runtime.active_mesh()
+        if mesh is None:
+            return _flash(q, k, v, mask, causal, q_block, k_block)
+        # Active multi-device mesh: launch the kernel per shard (batch over
+        # data, heads over model) inside shard_map — the SPMD partitioner
+        # cannot shard the custom call itself. Falls through to the plain
+        # HLO compositions below when the shape cannot partition.
+        b, h = q.shape[0], q.shape[1]
+        nd = mesh.shape.get("data", 1)
+        nm = mesh.shape.get("model", 1)
+        if b % nd == 0 and h % nm == 0:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            marrs = () if mask is None else (mask,)
+
+            def body(ql, kl, vl, *m):
+                with runtime.local_region():
+                    return _flash(
+                        ql, kl, vl, m[0] if m else None, causal,
+                        q_block, k_block,
+                    )
+
+            return shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P("data", "model"),) * 3 + (P("data"),) * len(marrs),
+                out_specs=P("data", "model"),
+                check_vma=False,
+            )(q, k, v, *marrs)
     if mask is None and (not causal or tq == tk):
         # Short sequences: plain fused softmax attention — numerically the
         # same online-softmax result, none of the blocking machinery.

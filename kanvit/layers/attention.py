@@ -234,6 +234,164 @@ def _fused_qkv_sine(xh, d_head, grid_size, pq, pk, pv):
     )
 
 
+def _per_head_qkv_jnp(kind, x, d_head, pq, pk, pv, sine_grid=4):
+    """Module-free per-head q/k/v on the jnp ground truth (``kanvit.ops``).
+
+    The universal fallback inside ``_msa_sharded``'s shard_map body (bound
+    flax modules cannot be called there): vmap the per-head closed forms
+    over the stacked param axis. Returns heads-layout ``(B, H, T, dh)``
+    tensors — value-identical to the vmapped module path.
+    """
+    import jax
+
+    from kanvit.ops import kan_bases as K
+
+    b, t, d = x.shape
+    h = d // d_head
+    xh = jnp.moveaxis(x.reshape(b, t, h, d_head), 2, 0)  # (H, B, T, dh)
+
+    def apply(p):
+        if "cheby_coeffs" in p:
+            return jax.vmap(K.chebykan_forward)(xh, p["cheby_coeffs"])
+        if "spline_scaler" in p or ("spline_weight" in p and p["spline_weight"].ndim == 4):
+            grid = p.get("grid")
+            if grid is None:
+                g = K.make_bspline_grid(d_head)
+                return jax.vmap(
+                    lambda xx, bw, sw, sc: K.bspline_kan_forward(xx, g, bw, sw, sc, 3)
+                )(xh, p["base_weight"], p["spline_weight"], p["spline_scaler"])
+            return jax.vmap(
+                lambda xx, g, bw, sw, sc: K.bspline_kan_forward(xx, g, bw, sw, sc, 3)
+            )(xh, grid, p["base_weight"], p["spline_weight"], p["spline_scaler"])
+        if "ln_weight" in p:  # fast
+            ng = FastKANLayer.num_grids
+            rbf_grid = jnp.linspace(FastKANLayer.grid_min, FastKANLayer.grid_max, ng)
+            den = (FastKANLayer.grid_max - FastKANLayer.grid_min) / (ng - 1)
+            return jax.vmap(
+                lambda xx, lw, lb, sw, bw, bb: K.fastkan_forward(
+                    xx, lw, lb, rbf_grid, den, sw, bw, bb
+                )
+            )(xh, p["ln_weight"], p["ln_bias"], p["spline_weight"],
+              p["base_weight"], p["base_bias"])
+        if "freq" in p:  # sine
+            phase = K.sinekan_phase_init(d_head, sine_grid)
+            return jax.vmap(
+                lambda xx, f, a, bb: K.sinekan_forward(xx, f, phase, a, bb)
+            )(xh, p["freq"], p["amplitudes"], p["bias"])
+        # linear kinds: torch-convention (H, out, in) weight
+        y = jnp.einsum("hbti,hoi->hbto", xh, p["weight"])
+        if "bias" in p:
+            y = y + p["bias"][:, None, None, :]
+        return y
+
+    q, k, v = apply(pq), apply(pk), apply(pv)
+    return tuple(jnp.moveaxis(a, 0, 1) for a in (q, k, v))  # (B, H, T, dh)
+
+
+def _fused_attend_local(x, pq, pk, pv, *, kind, d_head, n_heads, sine_grid=4):
+    """One MSA attention pass as a pure function of (activation, raw param
+    trees) — the per-shard body of ``_msa_sharded`` (and the math of the
+    single-device fused path). Picks the same qkv tier cascade as
+    ``MSA.__call__``, with the module-free jnp per-head fallback where a
+    grouped tier does not apply at the (local) shape."""
+    from kanvit.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_lanes,
+        lanes_applicable,
+    )
+
+    b, t, d = x.shape
+    layout, qkv = None, None
+    if kind in ("vanilla", "flash-attn", "fourier", "linear"):
+        if (os.environ.get("KANVIT_QKV_BD", "1") == "1"
+                and lanes_applicable(t, t, d, n_heads, x.dtype.itemsize)):
+            layout, qkv = "lanes", _fused_qkv_linear_bd(x, d_head, pq, pk, pv)
+    elif kind in ("efficientkan", "cheby"):
+        layout, qkv = _shared_basis_qkv(kind, x, d_head, pq, pk, pv)
+    elif kind == "fast" and os.environ.get("KANVIT_QKV_SG", "1") == "1":
+        res = _fused_qkv_fast(x, d_head, pq, pk, pv)
+        if res is not None:
+            layout, qkv = "lanes", res
+    elif kind == "sine" and os.environ.get("KANVIT_QKV_SG", "1") == "1":
+        res = _fused_qkv_sine_grouped(x, d_head, sine_grid, pq, pk, pv)
+        if res is not None:
+            layout, qkv = "lanes", res
+    if layout is None:
+        layout, qkv = "heads", _per_head_qkv_jnp(
+            kind, x, d_head, pq, pk, pv, sine_grid
+        )
+
+    q, k, v = qkv
+    if layout == "lanes":
+        out = flash_attention_lanes(q, k, v, n_heads)
+        if out is not None:
+            return out
+        q, k, v = (
+            a.reshape(b, t, n_heads, d_head).transpose(0, 2, 1, 3)
+            for a in (q, k, v)
+        )
+    out = flash_attention(q, k, v)  # (B, H, T, dh)
+    return jnp.moveaxis(out, 1, 2).reshape(b, t, d)
+
+
+def _msa_sharded(x, pq, pk, pv, *, mesh, kind, d_head, n_heads, sine_grid=4):
+    """MSA under an active multi-device mesh: heads over ``model``, batch
+    over ``data``, kernels launched per shard inside ``shard_map``.
+
+    The SPMD partitioner cannot shard a Pallas custom call, so the fused
+    qkv/attention paths must never see mesh-sharded operands at the XLA
+    level (``kanvit.parallel.runtime``). Each model shard slices its own
+    contiguous head lanes of ``x`` (head h reads lanes ``h*dh:(h+1)*dh``),
+    runs the full qkv-tier cascade + lanes attention on its local heads,
+    and the output re-assembles as ``(B, T, H*dh)`` sharded
+    ``P('data', None, 'model')`` — attention has no output projection
+    (SURVEY §2.9.4), so the following LayerNorm's lane all-gather is the
+    block's one TP collective. Returns None when the mesh cannot partition
+    this shape (batch % data axis, heads % model axis); the caller then
+    takes a partitioner-safe jnp path instead.
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from kanvit.parallel import runtime
+
+    b, t, d = x.shape
+    nd = mesh.shape.get("data", 1)
+    nm = mesh.shape.get("model", 1)
+    if b % nd or n_heads % nm:
+        return None
+    if any(
+        not hasattr(leaf, "shape") or leaf.shape[0] != n_heads
+        for leaf in jax.tree.leaves((pq, pk, pv))
+    ):
+        return None
+    hl = n_heads // nm
+
+    def body(xl, pql, pkl, pvl):
+        with runtime.local_region():
+            if nm > 1:
+                i = jax.lax.axis_index("model")
+                xs = jax.lax.dynamic_slice_in_dim(
+                    xl, i * hl * d_head, hl * d_head, axis=2
+                )
+            else:
+                xs = xl
+            return _fused_attend_local(
+                xs, pql, pkl, pvl, kind=kind, d_head=d_head,
+                n_heads=hl, sine_grid=sine_grid,
+            )
+
+    pspec = jax.tree.map(lambda _: P("model"), (pq, pk, pv))
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), *pspec),
+        out_specs=P("data", None, "model"),
+        check_vma=False,
+    )(x, pq, pk, pv)
+
+
 class MSA(nn.Module):
     """Multi-head self-attention with per-head variant projections."""
 
@@ -269,6 +427,29 @@ class MSA(nn.Module):
         b, t, _ = x.shape
 
         qm, km, vm = (vmapped(n) for n in ("q_mappings", "k_mappings", "v_mappings"))
+
+        # Multi-device mesh (kanvit.parallel.runtime): the SPMD partitioner
+        # cannot shard Pallas custom calls, so under an active mesh the
+        # fused paths run per-shard inside shard_map (_msa_sharded) and any
+        # non-partitionable remainder runs the jnp twins whose HLO XLA
+        # shards natively — a bare pallas_call never sees mesh-sharded
+        # operands (rule documented in docs/ARCHITECTURE.md).
+        from kanvit.ops import dispatch
+        from kanvit.parallel import runtime
+
+        mesh = None if self.is_initializing() else runtime.active_mesh()
+        if mesh is not None and not self.stateful_grid:
+            pq, pk, pv = (self.scope.get_variable("params", n)
+                          for n in ("q_mappings", "k_mappings", "v_mappings"))
+            out = _msa_sharded(
+                x, pq, pk, pv, mesh=mesh, kind=self.type, d_head=d_head,
+                n_heads=self.n_heads,
+            )
+            if out is not None:
+                return out
+        if mesh is not None and dispatch.use_pallas():
+            with dispatch.jnp_scope():
+                return self._attend_vmapped(x, qm, km, vm, d_head)
 
         # For basis families whose expansion is parameter-independent
         # (B-spline: deterministic grid; Chebyshev: T_n(tanh x)), compute the
@@ -378,6 +559,21 @@ class MSA(nn.Module):
         # (KANVIT_ATTN_MIN_SEQ A/Bs the threshold end-to-end).
         out = flash_attention(q, k, v)  # (B, H, T, dh)
         # concat heads in order == reshape back
+        return jnp.moveaxis(out, 1, 2).reshape(b, t, self.d)
+
+    def _attend_vmapped(self, x, qm, km, vm, d_head):
+        """The vmapped per-head module path + attention tail — the
+        partitioner-safe route under an active mesh when ``_msa_sharded``
+        cannot engage (indivisible batch/heads, stateful grids): its
+        einsums and sows are plain HLO the partitioner shards natively
+        (callers wrap it in ``dispatch.jnp_scope()``)."""
+        from kanvit.kernels.flash_attention import flash_attention
+
+        b, t, _ = x.shape
+        xh = jnp.moveaxis(x.reshape(b, t, self.n_heads, d_head), 2, 0)
+        q, k, v = qm(xh), km(xh), vm(xh)
+        q, k, v = (jnp.moveaxis(a, 0, 1) for a in (q, k, v))
+        out = flash_attention(q, k, v)
         return jnp.moveaxis(out, 1, 2).reshape(b, t, self.d)
 
 

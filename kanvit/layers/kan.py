@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from kanvit.ops import kan_bases as K
-from kanvit.ops import dispatch
 from kanvit.utils import torch_init as tinit
 
 
@@ -136,18 +135,12 @@ class KANLinear(nn.Module):
             # the trainer can refit the knots (reference effkan.py:189-242
             # reads self.x inside the module; functional JAX sows it out).
             self.sow("kan_inputs", "x", x.reshape(-1, x.shape[-1]))
-        if dispatch.use_pallas():
-            from kanvit.kernels import fused_basis
+        from kanvit.kernels import fused_basis
+        from kanvit.parallel import runtime
 
-            return fused_basis.bspline_kan(
-                x,
-                self.grid,
-                self.base_weight,
-                self.spline_weight,
-                self.spline_scaler,
-                self.spline_order,
-            )
-        return K.bspline_kan_forward(
+        return runtime.kan_op(
+            fused_basis.bspline_kan,
+            K.bspline_kan_forward,
             x,
             self.grid,
             self.base_weight,
@@ -211,14 +204,12 @@ class FastKANLayer(nn.Module):
         # time_benchmark skips the layernorm (reference fastkan.py:66-70)
         ln_w = None if time_benchmark else self.ln_weight
         ln_b = None if time_benchmark else self.ln_bias
-        if dispatch.use_pallas():
-            from kanvit.kernels import fused_basis
+        from kanvit.kernels import fused_basis
+        from kanvit.parallel import runtime
 
-            return fused_basis.fastkan(
-                x, ln_w, ln_b, self.rbf_grid, self.denominator,
-                self.spline_weight, self.base_weight, self.base_bias,
-            )
-        return K.fastkan_forward(
+        return runtime.kan_op(
+            fused_basis.fastkan,
+            K.fastkan_forward,
             x, ln_w, ln_b, self.rbf_grid, self.denominator,
             self.spline_weight, self.base_weight, self.base_bias,
         )
@@ -279,13 +270,14 @@ class SineKANLayer(nn.Module):
             self.bias = None
 
     def __call__(self, x):
-        if dispatch.use_pallas():
-            from kanvit.kernels import fused_basis
+        from kanvit.kernels import fused_basis
+        from kanvit.parallel import runtime
 
-            return fused_basis.sinekan(
-                x, self.freq, self.phase, self.amplitudes, self.bias
-            )
-        return K.sinekan_forward(x, self.freq, self.phase, self.amplitudes, self.bias)
+        return runtime.kan_op(
+            fused_basis.sinekan,
+            K.sinekan_forward,
+            x, self.freq, self.phase, self.amplitudes, self.bias,
+        )
 
 
 class FourierKANLayer(nn.Module):
@@ -328,11 +320,14 @@ class FourierKANLayer(nn.Module):
         )
 
     def __call__(self, x):
-        if dispatch.use_pallas():
-            from kanvit.kernels import fused_basis
+        from kanvit.kernels import fused_basis
+        from kanvit.parallel import runtime
 
-            return fused_basis.fourierkan(x, self.fouriercoeffs, self.bias)
-        return K.fourierkan_forward(x, self.fouriercoeffs, self.bias)
+        return runtime.kan_op(
+            fused_basis.fourierkan,
+            K.fourierkan_forward,
+            x, self.fouriercoeffs, self.bias,
+        )
 
 
 class ChebyKANLayer(nn.Module):
@@ -357,11 +352,12 @@ class ChebyKANLayer(nn.Module):
         )
 
     def __call__(self, x):
-        if dispatch.use_pallas():
-            from kanvit.kernels import fused_basis
+        from kanvit.kernels import fused_basis
+        from kanvit.parallel import runtime
 
-            return fused_basis.chebykan(x, self.cheby_coeffs)
-        return K.chebykan_forward(x, self.cheby_coeffs)
+        return runtime.kan_op(
+            fused_basis.chebykan, K.chebykan_forward, x, self.cheby_coeffs
+        )
 
 
 def make_kan_layer(

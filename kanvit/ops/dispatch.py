@@ -12,6 +12,7 @@ the pure-JAX ground truth in ``kanvit.ops`` and a fused Pallas kernel in
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 import jax
 
@@ -38,6 +39,22 @@ def use_pallas() -> bool:
     if _impl == "jnp":
         return False
     return jax.default_backend() == "tpu"
+
+
+@contextmanager
+def jnp_scope():
+    """Force the jnp implementations for the dynamic extent of a trace
+    region. Used where Pallas custom calls would be opaque to the SPMD
+    partitioner (e.g. the vmapped per-head MSA path under a model-sharded
+    mesh, ``kanvit.parallel.runtime``): the jnp twins lower to plain HLO
+    that XLA partitions natively."""
+    global _impl
+    prev = _impl
+    _impl = "jnp"
+    try:
+        yield
+    finally:
+        _impl = prev
 
 
 def interpret_mode() -> bool:

@@ -1,3 +1,4 @@
+from kanvit.parallel import runtime
 from kanvit.parallel.mesh import (
     create_mesh,
     batch_sharding,
@@ -12,4 +13,5 @@ __all__ = [
     "param_shardings",
     "shard_state",
     "TP_RULES",
+    "runtime",
 ]

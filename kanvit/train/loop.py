@@ -27,6 +27,7 @@ from kanvit.data.pipeline import (
     DataPipeline,
 )
 from kanvit.models import create_model
+from kanvit.parallel import runtime
 from kanvit.parallel.distributed import process_batch_slice
 from kanvit.parallel.mesh import batch_sharding, create_mesh, shard_state
 from kanvit.train.checkpoint import (
@@ -162,6 +163,10 @@ def run(cfg: TrainConfig) -> dict:
     # Under jax.distributed (multi-host) the same mesh spans all hosts'
     # devices; each process feeds its slice of the global batch.
     mesh = create_mesh(n_model=cfg.n_model_shards)
+    # Make every Pallas kernel entry mesh-aware (shard_map per shard —
+    # the SPMD partitioner cannot shard custom calls); a 1-device mesh
+    # deactivates and the single-chip fast paths run untouched.
+    runtime.activate_mesh(mesh)
     state = shard_state(state, mesh)
     data_shard = batch_sharding(mesh)
     multiproc = jax.process_count() > 1

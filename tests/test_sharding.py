@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from kanvit.models import create_model
+from kanvit.parallel import runtime
 from kanvit.parallel.mesh import batch_sharding, create_mesh, param_shardings, shard_state
 from kanvit.train.state import create_train_state
 from kanvit.train.steps import make_train_step
@@ -64,12 +65,153 @@ def test_tp_train_step_runs_and_matches():
     assert np.allclose(float(loss_single), float(loss_tp), atol=1e-5)
 
 
-def test_tp_with_kan_projections():
-    state, x, y = _setup("efficientkan")
+@pytest.mark.parametrize(
+    "kind", ["efficientkan", "fast", "sine", "fourier", "cheby"]
+)
+def test_tp_with_kan_projections(kind):
+    """Every KAN param family (spline stacks, LN affines, freq/phase
+    tables, coeff tensors) executes a sharded TP+DP train step."""
+    state, x, y = _setup(kind)
     mesh = create_mesh(n_model=2)
     sstate = shard_state(state, mesh)
     step = make_train_step(donate=False)
     sx = jax.device_put(x, batch_sharding(mesh))
     sy = jax.device_put(y, batch_sharding(mesh))
-    _, loss, _ = step(sstate, sx, sy)
+    with runtime.mesh_active(mesh):
+        _, loss, _ = step(sstate, sx, sy)
     assert np.isfinite(float(loss))
+
+
+# --- Mesh-aware Pallas dispatch (kanvit.parallel.runtime) ---------------
+#
+# The SPMD partitioner cannot shard a Pallas custom call, so under an
+# active mesh every kernel entry must run per-shard inside shard_map.
+# These tests pin the rule: with the mesh activated, MSA's shard-mapped
+# fused path (and the jnp fallbacks where it cannot engage) must be value-
+# and grad-equal to the unsharded single-device math — on the jnp dispatch
+# (fast) and with KANVIT_IMPL=pallas interpret-mode kernels (slow), which
+# exercises the exact kernel code a real multi-chip TPU pod would launch.
+
+MSA_TP_KINDS = ("vanilla", "efficientkan", "cheby", "fast", "sine", "fourier")
+
+
+def _msa_setup(kind):
+    from kanvit.layers.attention import MSA
+
+    msa = MSA(d=128, n_heads=4, type=kind)
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(0), (8, 6, 128)))
+    params = {"params": msa.init(jax.random.PRNGKey(1), x)["params"]}
+
+    def loss(p, xx):
+        return (msa.apply(p, xx) ** 2).sum()
+
+    return msa, params, x, loss
+
+
+def _shard_msa(params, mesh):
+    from kanvit.parallel.mesh import param_shardings
+
+    shardings = param_shardings(params["params"], mesh)
+    return {
+        "params": jax.tree.map(
+            lambda a, s: jax.device_put(a, s), params["params"], shardings
+        )
+    }
+
+
+@pytest.mark.parametrize("kind", MSA_TP_KINDS)
+def test_msa_sharded_path_matches_single_device(kind):
+    msa, params, x, loss = _msa_setup(kind)
+    y0 = msa.apply(params, x)
+    g0 = jax.grad(loss)(params, x)
+
+    mesh = create_mesh(n_model=2)  # (4, 2)
+    sp = _shard_msa(params, mesh)
+    sx = jax.device_put(x, batch_sharding(mesh))
+    with runtime.mesh_active(mesh):
+        y1 = jax.jit(msa.apply)(sp, sx)
+        g1 = jax.jit(jax.grad(loss))(sp, sx)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-5
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-4
+
+
+@pytest.mark.slow  # interpret-mode kernels under the mesh: ~20-35s/kind
+@pytest.mark.parametrize("kind", ["efficientkan", "fast", "sine"])
+def test_msa_sharded_forced_pallas_parity(kind):
+    """KANVIT_IMPL=pallas under the (4, 2) mesh: the fused slot-grouped /
+    shared-basis kernels launch per shard in interpret mode and must match
+    the unsharded jnp ground truth (values + grads) — the code path a real
+    model-sharded TPU mesh runs."""
+    from kanvit.ops import dispatch
+
+    prev = dispatch.get_impl()
+    try:
+        dispatch.set_impl("jnp")
+        msa, params, x, loss = _msa_setup(kind)
+        y0 = msa.apply(params, x)
+        g0 = jax.grad(loss)(params, x)
+
+        dispatch.set_impl("pallas")
+        mesh = create_mesh(n_model=2)
+        sp = _shard_msa(params, mesh)
+        sx = jax.device_put(x, batch_sharding(mesh))
+        with runtime.mesh_active(mesh):
+            y1 = msa.apply(sp, sx)
+            g1 = jax.grad(loss)(sp, sx)
+        assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            assert np.abs(np.asarray(a - b)).max() < 1e-3
+    finally:
+        dispatch.set_impl(prev)
+
+
+@pytest.mark.slow  # full-model interpret-mode kernels under the mesh: ~30s
+def test_train_step_sharded_forced_pallas_matches_jnp():
+    """End-to-end TP+DP train step with forced-pallas kernels (embedder
+    kan_op shard_map over data + MSA shard_map over data x model) equals
+    the unsharded jnp loss."""
+    from kanvit.ops import dispatch
+
+    prev = dispatch.get_impl()
+    try:
+        dispatch.set_impl("jnp")
+        model = create_model(
+            "efficientkan", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+            d_hidden=128, n_heads=4, out_d=10,
+        )
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(model, rng, jnp.zeros((1, 1, 28, 28)))
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+        y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+        step = make_train_step(donate=False)
+        _, loss0, _ = step(state, x, y)
+
+        dispatch.set_impl("pallas")
+        mesh = create_mesh(n_model=2)
+        sstate = shard_state(state, mesh)
+        sx = jax.device_put(x, batch_sharding(mesh))
+        sy = jax.device_put(y, batch_sharding(mesh))
+        with runtime.mesh_active(mesh):
+            _, loss1, _ = step(sstate, sx, sy)
+        assert abs(float(loss0) - float(loss1)) < 1e-5
+    finally:
+        dispatch.set_impl(prev)
+
+
+def test_msa_sharded_indivisible_heads_falls_back():
+    """heads % model-axis != 0: the shard-mapped path must decline and the
+    partitioner-safe fallback still produce single-device values."""
+    from kanvit.layers.attention import MSA
+
+    msa = MSA(d=96, n_heads=3, type="efficientkan")
+    x = jnp.tanh(jax.random.normal(jax.random.PRNGKey(0), (8, 6, 96)))
+    params = {"params": msa.init(jax.random.PRNGKey(1), x)["params"]}
+    y0 = msa.apply(params, x)
+
+    mesh = create_mesh(n_model=2)
+    sp = _shard_msa(params, mesh)  # 3 heads: rules fall back to replicated
+    sx = jax.device_put(x, batch_sharding(mesh))
+    with runtime.mesh_active(mesh):
+        y1 = jax.jit(msa.apply)(sp, sx)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-5
