@@ -30,6 +30,8 @@ PRESETS = {
                       d_hidden=64, n_heads=2, out_d=10),
     "vit-s": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
                   d_hidden=384, n_heads=6, out_d=1000),
+    "vit-b": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
+                  d_hidden=768, n_heads=12, out_d=1000),
 }
 
 # Per-chip peak matmul throughput (bf16 FLOP/s) by device kind, for the MFU

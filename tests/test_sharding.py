@@ -199,6 +199,49 @@ def test_train_step_sharded_forced_pallas_matches_jnp():
         dispatch.set_impl(prev)
 
 
+def test_stateful_grid_trains_and_refits_under_mesh():
+    """Adaptive B-spline grids under the (4, 2) mesh: the fused shard-map
+    path declines (stateful grids keep the module path so kan_inputs sow),
+    and both the train step and the grid-refit step must run sharded with
+    finite outputs and a changed grid."""
+    from kanvit.train.grid_update import make_update_grid_step
+
+    model = create_model(
+        "efficientkan", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10, stateful_grid=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((1, 1, 28, 28)))
+    mesh = create_mesh(n_model=2)
+    sstate = shard_state(state, mesh)
+    x = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28)),
+        batch_sharding(mesh),
+    )
+    y = jax.device_put(
+        jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10),
+        batch_sharding(mesh),
+    )
+    step = make_train_step(donate=False)
+    update = make_update_grid_step(model.apply, donate=False)
+    with runtime.mesh_active(mesh):
+        sstate, loss, _ = step(sstate, x, y)
+        grids0 = [
+            np.asarray(g) for p, g in
+            jax.tree_util.tree_leaves_with_path(sstate.params)
+            if str(getattr(p[-1], "key", p[-1])) == "grid"
+        ]
+        sstate = update(sstate, x)
+        sstate, loss2, _ = step(sstate, x, y)
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+    grids1 = [
+        np.asarray(g) for p, g in
+        jax.tree_util.tree_leaves_with_path(sstate.params)
+        if str(getattr(p[-1], "key", p[-1])) == "grid"
+    ]
+    assert any(np.abs(a - b).max() > 0 for a, b in zip(grids0, grids1))
+
+
 def test_msa_sharded_indivisible_heads_falls_back():
     """heads % model-axis != 0: the shard-mapped path must decline and the
     partitioner-safe fallback still produce single-device values."""
