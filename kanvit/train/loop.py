@@ -143,6 +143,15 @@ def _epoch_metrics(losses, logits_list, labels_list, num_classes,
 
 def run(cfg: TrainConfig) -> dict:
     """Train + evaluate; returns a result summary dict."""
+    try:
+        return _run(cfg)
+    finally:
+        # The mesh context is process-global (kanvit.parallel.runtime);
+        # never leak it past this training run (in-process test callers).
+        runtime.activate_mesh(None)
+
+
+def _run(cfg: TrainConfig) -> dict:
     metrics_file = setup_logging(cfg.log_dir, dataset=cfg.dataset)
     log = logging.getLogger("kanvit.train")
     devices = jax.devices()

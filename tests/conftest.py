@@ -26,6 +26,18 @@ import pytest  # noqa: E402
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 
 
+@pytest.fixture(autouse=True)
+def _no_mesh_leak():
+    """The active-mesh context (kanvit.parallel.runtime) is process-global;
+    a test that activates it without the context manager must not bleed
+    into later tests (a leaked (4,2) mesh silently changes kernel
+    dispatch — caught once with the dryrun leaking into a lanes test)."""
+    yield
+    from kanvit.parallel import runtime
+
+    runtime.activate_mesh(None)
+
+
 @pytest.fixture(scope="session")
 def goldens_dir():
     return GOLDENS
