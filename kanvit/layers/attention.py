@@ -594,6 +594,14 @@ class FlashAttentionBlock(nn.Module):
     causal: bool = False
     q_bucket_size: int = 512
     k_bucket_size: int = 1024
+    # Sequence parallelism: name of an active-mesh axis to shard T over.
+    # When set (and a runtime mesh with that axis is active), self-attention
+    # runs as ring attention — k/v chunks rotate across devices via
+    # ppermute with per-device online-softmax accumulation
+    # (kanvit/parallel/ring_attention.py) — scaling reachable sequence
+    # length linearly with the ring. Long-context extension beyond the
+    # reference (whose max sequence is 197 tokens).
+    seq_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -621,6 +629,28 @@ class FlashAttentionBlock(nn.Module):
         b, t, _ = q.shape
         tk = k.shape[1]
 
+        def to_heads(a, tt):
+            return a.reshape(b, tt, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        # Sequence-parallel path: self-attention with T sharded over the
+        # named mesh axis rides the ring (mask/cross-attention shapes fall
+        # through to the standard entries below).
+        if (self.seq_axis and not self.is_initializing()
+                and context is None and mask is None and tk == t):
+            from kanvit.parallel import runtime
+            from kanvit.parallel.ring_attention import ring_attention
+
+            mesh = runtime.active_mesh()
+            n = mesh.shape.get(self.seq_axis, 1) if mesh is not None else 1
+            if n > 1 and t % n == 0:
+                out = ring_attention(
+                    to_heads(q, t), to_heads(k, t), to_heads(v, t),
+                    mesh=mesh, axis_name=self.seq_axis, causal=self.causal,
+                )
+                out = out.transpose(0, 2, 1, 3).reshape(b, t, inner)
+                return TorchLinear(inner, self.dim, use_bias=False,
+                                   name="to_out")(out)
+
         # The projections already emit/consume the head-concat (B, T, H*dh)
         # layout — at single-tile shapes the lanes kernel runs attention in
         # place with zero head split/merge relayouts.
@@ -631,9 +661,6 @@ class FlashAttentionBlock(nn.Module):
         if out_l is not None:
             return TorchLinear(inner, self.dim, use_bias=False,
                                name="to_out")(out_l)
-
-        def to_heads(a, tt):
-            return a.reshape(b, tt, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
         out = flash_attention(
             to_heads(q, t),

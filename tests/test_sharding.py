@@ -242,6 +242,87 @@ def test_stateful_grid_trains_and_refits_under_mesh():
     assert any(np.abs(a - b).max() > 0 for a, b in zip(grids0, grids1))
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_flash(causal):
+    """Sequence-parallel ring attention (k/v chunks rotate via ppermute,
+    online-softmax accumulation per device) must equal single-device
+    flash_attention in values and grads with T sharded 8-way."""
+    from kanvit.kernels.flash_attention import flash_attention
+    from kanvit.parallel.ring_attention import ring_attention
+
+    b, h, t, dh = 2, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(70), 4)
+    q = jax.random.normal(ks[0], (b, h, t, dh))
+    k = jax.random.normal(ks[1], (b, h, t, dh))
+    v = jax.random.normal(ks[2], (b, h, t, dh))
+
+    def loss_ref(q, k, v):
+        return (flash_attention(q, k, v, causal=causal) ** 2).sum()
+
+    y0 = flash_attention(q, k, v, causal=causal)
+    g0 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+
+    mesh = create_mesh()  # (8, 1): 8-way seq sharding on 'data'
+
+    def loss_ring(q, k, v):
+        return (ring_attention(q, k, v, mesh=mesh, causal=causal) ** 2).sum()
+
+    y1 = jax.jit(
+        lambda q, k, v: ring_attention(q, k, v, mesh=mesh, causal=causal)
+    )(q, k, v)
+    g1 = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-5
+    for a, b_ in zip(g0, g1):
+        assert np.abs(np.asarray(a - b_)).max() < 1e-3
+
+
+def test_flash_block_seq_parallel_training_step():
+    """A causal FlashAttentionBlock with seq_axis set trains with T
+    sharded over the mesh (ring attention inside) and matches the
+    unsharded block's values and grads."""
+    from kanvit.layers.attention import FlashAttentionBlock
+
+    b, t, d = 2, 64, 32
+    x = jax.random.normal(jax.random.PRNGKey(80), (b, t, d))
+
+    blk0 = FlashAttentionBlock(dim=d, heads=2, dim_head=16, causal=True)
+    params = {"params": blk0.init(jax.random.PRNGKey(81), x)["params"]}
+
+    def loss0(p, xx):
+        return (blk0.apply(p, xx) ** 2).sum()
+
+    y0 = blk0.apply(params, x)
+    g0 = jax.grad(loss0)(params, x)
+
+    blk1 = FlashAttentionBlock(dim=d, heads=2, dim_head=16, causal=True,
+                               seq_axis="data")
+    mesh = create_mesh()  # (8, 1)
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    sx = jax.device_put(x, NamedSharding(mesh, PS(None, "data")))
+
+    def loss1(p, xx):
+        return (blk1.apply(p, xx) ** 2).sum()
+
+    with runtime.mesh_active(mesh):
+        y1 = jax.jit(blk1.apply)(params, sx)
+        g1 = jax.jit(jax.grad(loss1))(params, sx)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-5
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b_)).max() < 1e-3
+
+
+def test_ring_attention_no_mesh_is_flash():
+    from kanvit.kernels.flash_attention import flash_attention
+    from kanvit.parallel.ring_attention import ring_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(71), 3)
+    q, k, v = (jax.random.normal(kk, (1, 2, 64, 16)) for kk in ks)
+    y0 = flash_attention(q, k, v)
+    y1 = ring_attention(q, k, v)  # no mesh -> flash path
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-6
+
+
 def test_msa_sharded_indivisible_heads_falls_back():
     """heads % model-axis != 0: the shard-mapped path must decline and the
     partitioner-safe fallback still produce single-device values."""
