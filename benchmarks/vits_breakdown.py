@@ -79,6 +79,10 @@ def main():
     p.add_argument("--impls", nargs="+", default=["auto"])
     p.add_argument("--variant", default="efficientkan")
     p.add_argument("--skip-full", action="store_true")
+    p.add_argument("--d", type=int, default=384,
+                   help="model width (384 = ViT-S, 768 = ViT-B)")
+    p.add_argument("--heads", type=int, default=6,
+                   help="attention heads (6 = ViT-S, 12 = ViT-B)")
     args = p.parse_args()
 
     import jax
@@ -89,7 +93,7 @@ def main():
     from kanvit.ops import dispatch
 
     results = {}
-    B, T, D, H = args.batch, 197, 384, 6
+    B, T, D, H = args.batch, 197, args.d, args.heads
     N_emb = args.batch * 196
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
 
@@ -98,7 +102,7 @@ def main():
         rec = {}
 
         # --- patch embedder: 768 -> 384 on N_emb rows, mapper grid consts
-        emb = make_kan_layer(args.variant, 768, 384, sine_grid_size=28,
+        emb = make_kan_layer(args.variant, 768, D, sine_grid_size=28,
                              fourier_grid_size=28, cheby_degree=4)
         x_emb = jax.random.normal(jax.random.PRNGKey(0), (N_emb, 768), dt)
         p_emb = emb.init(jax.random.PRNGKey(1), x_emb)["params"]
@@ -191,6 +195,8 @@ def main():
         print(json.dumps({impl: rec}), flush=True)
 
     suffix = "" if args.variant == "efficientkan" else f"_{args.variant}"
+    if (D, H) != (384, 6):
+        suffix += f"_d{D}h{H}"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         f"vits_breakdown{suffix}.json")
     with open(path, "w") as f:
