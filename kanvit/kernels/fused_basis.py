@@ -166,6 +166,31 @@ def _should_fuse(n: int, f: int, family: str = "", nin: int = 0,
     return n >= 32768 and nin > 0 and (f <= 8 * nin or kb_ok)
 
 
+# Grouped-qkv dispatch: one slot-grouped launch spans ALL heads, so its
+# fixed costs (dispatch, grid-step overhead, basis setup) amortize over
+# total head-rows n * heads — not rows alone, which is what the round-2
+# per-head sweep behind ``_should_fuse``'s 32768 threshold measured. The
+# round-4 sweeps on the real grouped MSA launches
+# (tools/tpu_probe_sg_crossover.py -> benchmarks/sg_crossover_probe.json)
+# measured Pallas winning 29/32 cells from n*h = 18912 to 151296 across
+# all four sg families (cheby/bspline/rbf/sine). The three jnp cells set
+# the floor: cheby loses BOTH n*h = 18912 cells (3.93 vs 3.20 ms at 12
+# heads) but wins everything from 37824 up, so the floor sits between;
+# the lone above-floor exception is fast 6-head/25216-row (8.44 vs 7.99,
+# ~5%), re-won at equal head-rows with 12 heads. The reference MNIST
+# ctor config (h=2, n=6400 -> 12800 head-rows) stays on the XLA path,
+# which round 1 measured as dispatch-bound either way.
+_SG_FUSE_MIN_HEAD_ROWS = 32768
+
+
+def _should_fuse_sg(n: int, groups: int) -> bool:
+    if dispatch.get_impl() == "pallas":
+        return True
+    if not dispatch.use_pallas():
+        return False
+    return n * groups >= _SG_FUSE_MIN_HEAD_ROWS
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -1337,8 +1362,7 @@ def bspline_qkv_grouped(x2d, grid, bw, sw, sc, spline_order=3):
     h, out, dh = bw.shape
     ng = sw.shape[-1]
     q = _sg_slots(h, dh)
-    if q is None or not _should_fuse(x2d.shape[0], (ng + 1) * dh,
-                                     family="bspline", nin=dh):
+    if q is None or not _should_fuse_sg(x2d.shape[0], h):
         return None
     fam_probe = bspline_family(grid.shape[1] - 2 * spline_order - 1,
                                spline_order, True)
@@ -1365,7 +1389,7 @@ def cheby_qkv_grouped(x2d, cc):
     ``bspline_qkv_grouped``."""
     h, dh, out, deg1 = cc.shape
     q = _sg_slots(h, dh)
-    if q is None or not _should_fuse(x2d.shape[0], deg1 * dh, nin=dh):
+    if q is None or not _should_fuse_sg(x2d.shape[0], h):
         return None
     fam = cheby_family(deg1 - 1)
     w_probe = jnp.zeros((1, 1), cc.dtype)
@@ -1573,7 +1597,7 @@ def sinekan_qkv_grouped(x2d, freq, phase, amplitudes, bias):
     row-table construction; dphase is discarded (buffer, not a param)."""
     h, out, dh, ng = amplitudes.shape
     q = _sg_slots(h, dh)
-    if q is None or not _should_fuse(x2d.shape[0], dh * ng, nin=dh):
+    if q is None or not _should_fuse_sg(x2d.shape[0], h):
         return None
     w_probe = jnp.zeros((1, 1), amplitudes.dtype)
     if min(_sine_sg_bn(dh, out, ng, x2d, w_probe, q, False),
@@ -3245,7 +3269,7 @@ def fastkan_qkv_grouped(x2d, ln_gamma, ln_beta, rbf_grid, rbf_denominator,
     h, out, dh = base_weight.shape
     ng = rbf_grid.shape[-1]
     q = _sg_slots(h, dh)
-    if q is None or not _should_fuse(x2d.shape[0], dh * ng, nin=dh):
+    if q is None or not _should_fuse_sg(x2d.shape[0], h):
         return None
     w_probe = jnp.zeros((1, 1), spline_weight.dtype)
     if min(_rbf_ln_sg_bn(dh, ng + 1, out, x2d, w_probe, q, False),
