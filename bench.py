@@ -32,6 +32,8 @@ PRESETS = {
                   d_hidden=384, n_heads=6, out_d=1000),
     "vit-b": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
                   d_hidden=768, n_heads=12, out_d=1000),
+    "vit-l": dict(chw=(3, 224, 224), n_patches=14, n_blocks=24,
+                  d_hidden=1024, n_heads=16, out_d=1000),
 }
 
 # Per-chip peak matmul throughput (bf16 FLOP/s) by device kind, for the MFU

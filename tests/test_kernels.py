@@ -765,6 +765,32 @@ def test_kb_sine_dw_slab_divides_grid():
         assert ng % kb[4] == 0, (ng, kb[4])
 
 
+def test_sg_gate_amortizes_over_heads(monkeypatch):
+    """The slot-grouped qkv gate must amortize fixed launch costs over rows
+    x heads, not rows alone (the round-4 ViT-B regression: 25,216 rows at
+    12 heads fell back to jnp where Pallas wins 29/32 crossover cells,
+    benchmarks/sg_crossover_probe.json)."""
+    from kanvit.kernels import fused_basis as FB
+    from kanvit.ops import dispatch
+
+    # Forced impls win regardless of shape.
+    monkeypatch.setattr(dispatch, "_impl", "pallas")
+    assert FB._should_fuse_sg(8, 2)
+    monkeypatch.setattr(dispatch, "_impl", "jnp")
+    assert not FB._should_fuse_sg(10**9, 16)
+
+    # Auto on a non-TPU backend never fuses.
+    monkeypatch.setattr(dispatch, "_impl", "auto")
+    assert not FB._should_fuse_sg(10**9, 16)
+
+    # Auto on TPU: the head-rows floor decides.
+    monkeypatch.setattr(dispatch, "use_pallas", lambda: True)
+    assert FB._should_fuse_sg(128 * 197, 12)     # ViT-B batch 128
+    assert FB._should_fuse_sg(256 * 197, 6)      # ViT-S batch 256
+    assert not FB._should_fuse_sg(128 * 50, 2)   # reference MNIST ctor
+    assert not FB._should_fuse_sg(1576, 12)      # below the 32768 floor
+
+
 def test_fused_cheby(x):
     from kanvit.kernels import fused_basis as FB
 
