@@ -2138,7 +2138,8 @@ def _kb_bn(fixed: int, per_row: int) -> int:
 
 
 def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
-             pair: bool = False, recur: bool = False, sine: bool = False):
+             pair: bool = False, recur: bool = False, sine: bool = False,
+             allow_relaxed: bool = True):
     """(gb, bn_fwd, bn_dx, bn_dw, gb_dw) for the K-blocked tier, or None.
 
     Row blocks are picked PER KERNEL: the full weight streams once per row
@@ -2165,10 +2166,8 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
     rn = _round_up(nin, 128)
     ro = _round_up(out, 128)
     trig = 4 * rn * 4 if recur else 0
-    got = None
-    for gb in (8, 4, 2):
-        if ng % gb or gb >= ng or (pair and gb % 2):
-            continue
+
+    def _size(gb, joint):
         fk = gb * nin
         slab = 2 * fk * out * wb  # double-buffered weight slab
         per_fwd = (
@@ -2186,9 +2185,25 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
         bn_fwd = _kb_bn(slab, per_fwd)
         bn_dx = _kb_bn(slab, per_dx)
         bn_dw_j = _kb_bn(2 * fk * out * 4 + slab, per_dw_j)
-        if min(bn_fwd, bn_dx, bn_dw_j) >= 32:
-            got = (gb, bn_fwd, bn_dx, bn_dw_j)
-            break
+        ok = min(bn_fwd, bn_dx, bn_dw_j) if joint else min(bn_fwd, bn_dx)
+        return (gb, bn_fwd, bn_dx, bn_dw_j) if ok >= 32 else None
+
+    gbs = tuple(g for g in (8, 4, 2)
+                if not (ng % g or g >= ng or (pair and g % 2)))
+    got = next((s for g in gbs if (s := _size(g, joint=True))), None)
+    # Wide-out shapes (e.g. the d=768 ViT-B mappers, out=768): the JOINT
+    # dw fallback (2*fk*out f32 dw + the w slab) cannot fit the default
+    # 16M scoped limit at ANY slab width, but the dw kernel runs under the
+    # raised _DW_VMEM_LIMIT anyway — retry on fwd/dx alone and require a
+    # raised-budget gb_dw below (no joint fallback). Narrow-out shapes
+    # take the joint branch first, so their picks are unchanged.
+    relaxed = got is None and allow_relaxed
+    if relaxed:
+        # Weight re-streaming scales with n/bn (gb only sets the k-slab
+        # granularity), so take the gb with the LARGEST row blocks, not
+        # the first that fits.
+        fits = [s for g in gbs if (s := _size(g, joint=False))]
+        got = max(fits, key=lambda s: min(s[1], s[2]), default=None)
     if got is None:
         return None
     gb, bn_fwd, bn_dx, bn_dw_j = got
@@ -2227,20 +2242,34 @@ def _pick_kb(nin: int, out: int, ng: int, xb: int, wb: int, db: int,
         bn_dw = int(min(cap, (bn_dw // 8) * 8))
         if bn_dw >= 96:
             return gb, bn_fwd, bn_dx, bn_dw, gb_dw
+    if relaxed:
+        return None  # the joint fallback below doesn't fit these shapes
     # fall back to the joint sizing (fits the default 16M scoped limit)
     return gb, bn_fwd, bn_dx, bn_dw_j, gb
 
 
 def _kb_eligible(nin, ng, out, xdt, wdt, pair: bool = False,
                  recur: bool = False, sine: bool = False) -> bool:
-    """Shape/dtype-only probe of ``_kb_strategy`` for the dispatch gate."""
+    """Shape/dtype-only probe of ``_kb_strategy`` for the dispatch gate.
+
+    Sine only advertises JOINT-fit picks to the auto dispatch: at the
+    wide-out shapes the relaxed retry unlocks (ViT-B/L mappers, out >=
+    768), the sine kb kernel — which pays sin fwd + sin/cos bwd recompute
+    plus the dfreq gw passes — measures a consistent ~5% BEHIND XLA's
+    fused path (57.4 vs 54.1 ms at out=768 N=25088; 33.0 vs 31.6 at
+    out=1024 N=12544, tools/tpu_probe_kb_wide.py), while fourier's
+    recurrence kernels win decisively there (43.5 vs 74.5; 31.1 vs 41.7).
+    Forced-pallas still executes the relaxed sine pick via
+    ``_kb_strategy`` — far better than the out-blocked tier's per-slab
+    transcendental recompute (118.6 ms at out=768)."""
     wb = jnp.dtype(wdt).itemsize
     if ng * nin * out * (wb + 4) <= _VMEM_BUDGET // 2:
         return False
     db = 2 if (jnp.dtype(xdt) == jnp.bfloat16
                and jnp.dtype(wdt) == jnp.bfloat16) else 4
     return _pick_kb(nin, out, ng, jnp.dtype(xdt).itemsize, wb, db,
-                    pair=pair, recur=recur, sine=sine) is not None
+                    pair=pair, recur=recur, sine=sine,
+                    allow_relaxed=not sine) is not None
 
 
 def _kb_strategy(x2d, w3d, pair: bool = False, recur: bool = False,

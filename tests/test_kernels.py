@@ -750,6 +750,33 @@ def test_kb_strategy_engages_at_mapper_shapes():
     assert FB._kb_eligible(768, 28, 384, jnp.bfloat16, jnp.bfloat16)
 
 
+def test_kb_wide_out_relaxed_picks():
+    """Wide-out mappers (ViT-B/L, out >= 768): the relaxed retry must give
+    the EXECUTION tier a pick (forced-pallas otherwise falls to the
+    out-blocked per-slab transcendental recompute, 118.6 vs 57.4 ms at
+    out=768), fourier must advertise it to the auto DISPATCH (kb wins
+    43.5 vs 74.5 ms there), and sine must NOT (kb measures ~5% behind XLA
+    at wide out — tools/tpu_probe_kb_wide.py)."""
+    from kanvit.kernels import fused_basis as FB
+
+    bf = jnp.bfloat16
+    for out, n in ((768, 25088), (1024, 12544)):
+        x = jnp.zeros((n, 768), bf)
+        ws = jnp.zeros((28, 768, out), bf)
+        wf = jnp.zeros((56, 768, out), bf)
+        kbs = FB._kb_strategy(x, ws, sine=True)
+        kbf = FB._kb_strategy(x, wf, pair=True, recur=True)
+        assert kbs is not None and kbf is not None, out
+        assert min(kbs[1:4]) >= 32 and min(kbf[1:4]) >= 32, out
+        assert kbf[0] % 2 == 0 and kbf[4] % 2 == 0, out
+        assert 28 % kbs[4] == 0 and 56 % kbf[4] == 0, out
+        assert FB._kb_eligible(768, 56, out, bf, bf, pair=True, recur=True)
+        assert not FB._kb_eligible(768, 28, out, bf, bf, sine=True)
+    # The ViT-S joint-fit shapes are untouched by the relaxed branch:
+    # sine stays auto-eligible at out=384.
+    assert FB._kb_eligible(768, 28, 384, bf, bf, sine=True)
+
+
 def test_kb_sine_dw_slab_divides_grid():
     """Regression: the sine dw-slab candidates (4, 2) must be filtered by
     ng-divisibility — a grid-6 sine mapper at kb scale used to pick
