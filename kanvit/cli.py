@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt-dir", type=str, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-model-shards", type=int, default=1,
-                   help="tensor-parallel shards (devices split as data x model)")
+                   help="tensor-parallel shards (devices split as data x model x pipe)")
+    p.add_argument("--n-pipe-stages", type=int, default=1,
+                   help="pipeline-parallel stages (blocks sharded over the "
+                        "'pipe' mesh axis; composes with DP, not TP)")
+    p.add_argument("--n-microbatches", type=int, default=0,
+                   help="pipeline microbatches per step (0 = one per stage)")
     # Multi-host (jax.distributed): DP laid across hosts over DCN. With no
     # flags set this is a no-op (single-process). On TPU pods the
     # coordinator/process args are usually auto-detected — pass
@@ -98,6 +103,8 @@ def main(argv=None) -> dict:
         ckpt_dir=args.ckpt_dir,
         resume=args.resume,
         n_model_shards=args.n_model_shards,
+        n_pipe_stages=args.n_pipe_stages,
+        n_microbatches=args.n_microbatches,
         profile_dir=args.profile_dir,
         h2d_lookahead=args.h2d_lookahead,
         limit_train_batches=args.limit_train_batches,

@@ -117,21 +117,31 @@ class VisionTransformer(nn.Module):
 
         self.head_linear = TorchLinear(self.d_hidden, self.out_d, name="head_linear")
 
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """``[B, C, H, W] -> [B, out_d]`` logits."""
+    def embed(self, images: jnp.ndarray) -> jnp.ndarray:
+        """``[B, C, H, W] -> [B, T, d_hidden]`` tokens (patchify -> variant
+        mapper -> [class] token -> sinusoidal positions). Exposed as a
+        standalone method so the pipeline-parallel step can run it outside
+        the block pipeline (``kanvit.parallel.pipeline``)."""
         b = images.shape[0]
         patches = patchify(images, self.n_patches)  # (B, P^2, input_d)
         tokens = self.linear_mapper(patches)  # (B, P^2, d_hidden)
         cls = jnp.broadcast_to(self.v_class[None], (b, 1, self.d_hidden))
         tokens = jnp.concatenate([cls, tokens], axis=1)
-        tokens = tokens + self.pos_embeddings[: tokens.shape[1]].astype(tokens.dtype)
+        return tokens + self.pos_embeddings[: tokens.shape[1]].astype(
+            tokens.dtype
+        )
 
-        out = tokens
+    def head(self, out: jnp.ndarray) -> jnp.ndarray:
+        """``[B, T, d_hidden] -> [B, out_d]``: LN + Linear on the class
+        token (reference ``model.py:106-109,164-168``)."""
+        return self.head_linear(self.head_norm(out[:, 0]))
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        """``[B, C, H, W] -> [B, out_d]`` logits."""
+        out = self.embed(images)
         for blk in self.blocks:
             out = blk(out)
-
-        cls_token = out[:, 0]
-        return self.head_linear(self.head_norm(cls_token))
+        return self.head(out)
 
 
 def create_model(

@@ -42,18 +42,25 @@ TP_RULES: Sequence[tuple[str, P]] = (
 def create_mesh(
     n_data: int | None = None,
     n_model: int = 1,
+    n_pipe: int = 1,
     devices=None,
 ) -> Mesh:
-    """2-D ``(data, model)`` mesh. Defaults to pure DP over all devices."""
+    """``(data, model, pipe)`` mesh. Defaults to pure DP over all devices.
+
+    ``model`` shards attention heads / the FF pair (TP rules above);
+    ``pipe`` shards transformer-block stages for the microbatch pipeline
+    (``kanvit.parallel.pipeline``). Size-1 axes are free: every consumer
+    reads ``mesh.shape.get(axis, 1)``.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    if n_data * n_model != len(devices):
+        n_data = len(devices) // (n_model * n_pipe)
+    if n_data * n_model * n_pipe != len(devices):
         raise ValueError(
-            f"mesh {n_data}x{n_model} != {len(devices)} devices"
+            f"mesh {n_data}x{n_model}x{n_pipe} != {len(devices)} devices"
         )
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, axis_names=("data", "model"))
+    arr = np.asarray(devices).reshape(n_data, n_model, n_pipe)
+    return Mesh(arr, axis_names=("data", "model", "pipe"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -90,12 +97,14 @@ def param_shardings(params, mesh: Mesh, rules=TP_RULES):
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
-def shard_state(state, mesh: Mesh, rules=TP_RULES):
+def shard_state(state, mesh: Mesh, rules=TP_RULES, p_shard=None):
     """Place a TrainState on the mesh: params/opt-state sharded per rules,
-    scalars replicated."""
+    scalars replicated. ``p_shard`` overrides the rule-derived param
+    shardings with a precomputed pytree (the pipeline-parallel layout)."""
     import optax
 
-    p_shard = param_shardings(state.params, mesh, rules)
+    if p_shard is None:
+        p_shard = param_shardings(state.params, mesh, rules)
     replicated = NamedSharding(mesh, P())
 
     def like_params(tree):

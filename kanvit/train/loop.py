@@ -58,6 +58,12 @@ class TrainConfig:
     ckpt_dir: str | None = None
     resume: bool = False
     n_model_shards: int = 1
+    # Pipeline parallelism: devices split as data x model x pipe; blocks
+    # sharded into n_pipe_stages stages, batch streamed through them in
+    # n_microbatches microbatches (0 = one per stage). PP composes with DP;
+    # not with TP (kanvit/parallel/pipeline.py docstring).
+    n_pipe_stages: int = 1
+    n_microbatches: int = 0
     profile_dir: str | None = None
     # H2D transfer lookahead depth (0 = off). device_put is async, so
     # issuing transfers ahead pipelines copies under executing steps on
@@ -168,15 +174,49 @@ def _run(cfg: TrainConfig) -> dict:
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info("Model %s: %d parameters", cfg.model_type, n_params)
 
-    # Mesh: DP over remaining devices, optional TP over n_model_shards.
-    # Under jax.distributed (multi-host) the same mesh spans all hosts'
-    # devices; each process feeds its slice of the global batch.
-    mesh = create_mesh(n_model=cfg.n_model_shards)
+    # Mesh: DP over remaining devices, optional TP over n_model_shards,
+    # optional PP over n_pipe_stages. Under jax.distributed (multi-host)
+    # the same mesh spans all hosts' devices; each process feeds its slice
+    # of the global batch.
+    mesh = create_mesh(
+        n_model=cfg.n_model_shards, n_pipe=cfg.n_pipe_stages
+    )
     # Make every Pallas kernel entry mesh-aware (shard_map per shard —
     # the SPMD partitioner cannot shard custom calls); a 1-device mesh
     # deactivates and the single-chip fast paths run untouched.
     runtime.activate_mesh(mesh)
-    state = shard_state(state, mesh)
+    use_pp = cfg.n_pipe_stages > 1
+    n_micro = cfg.n_microbatches or cfg.n_pipe_stages
+    if use_pp:
+        from kanvit.parallel.pipeline import (
+            create_pp_state,
+            make_pp_eval_step,
+            make_pp_train_step,
+            pp_param_shardings,
+        )
+
+        if cfg.update_grid_every:
+            raise ValueError(
+                "--update-grid-every is not supported with pipeline "
+                "parallelism (the grid refit operates on the canonical "
+                "param layout)"
+            )
+        if cfg.batch_size % n_micro:
+            raise ValueError(
+                f"batch {cfg.batch_size} not divisible by "
+                f"{n_micro} microbatches"
+            )
+        # Re-create the state in the pipeline layout (stacked blocks,
+        # leading block axis sharded over 'pipe'); same seed, same values.
+        state = create_pp_state(
+            model, jax.random.PRNGKey(cfg.seed),
+            jnp.zeros((1, *chw), jnp.float32), cfg.learning_rate,
+        )
+        state = shard_state(
+            state, mesh, p_shard=pp_param_shardings(state.params, mesh)
+        )
+    else:
+        state = shard_state(state, mesh)
     data_shard = batch_sharding(mesh)
     multiproc = jax.process_count() > 1
     is_proc0 = jax.process_index() == 0
@@ -198,11 +238,29 @@ def _run(cfg: TrainConfig) -> dict:
     if cfg.resume and cfg.ckpt_dir:
         path = latest_checkpoint(cfg.ckpt_dir)
         if path:
-            state = restore_checkpoint(path, state)
-            # from_bytes leaves host numpy arrays in the tree; re-place on
-            # the mesh so the .sharding reads below and the AOT-compiled
-            # step see device arrays again.
-            state = shard_state(state, mesh)
+            if use_pp:
+                # Checkpoints are always canonical-layout (rule 6): restore
+                # into a canonical template, then split into the pipeline
+                # layout so a DP/TP run's checkpoint resumes under PP.
+                from kanvit.parallel.pipeline import canonical_state_to_pp
+
+                tmpl = create_train_state(
+                    model, jax.random.PRNGKey(cfg.seed),
+                    jnp.zeros((1, *chw), jnp.float32), cfg.learning_rate,
+                )
+                state = canonical_state_to_pp(
+                    restore_checkpoint(path, tmpl), model.n_blocks
+                )
+                state = shard_state(
+                    state, mesh,
+                    p_shard=pp_param_shardings(state.params, mesh),
+                )
+            else:
+                state = restore_checkpoint(path, state)
+                # from_bytes leaves host numpy arrays in the tree; re-place
+                # on the mesh so the .sharding reads below and the
+                # AOT-compiled step see device arrays again.
+                state = shard_state(state, mesh)
             log.info("Resumed from %s (step %d)", path, int(state.step))
 
     # Pin output shardings to the input layout: with donated buffers + AOT
@@ -210,13 +268,24 @@ def _run(cfg: TrainConfig) -> dict:
     # returned state would stop matching the executable's inputs.
     replicated = NamedSharding(mesh, PartitionSpec())
     state_shardings = jax.tree.map(lambda a: a.sharding, state)
-    train_step = make_train_step(
-        bf16=cfg.bf16, out_shardings=(state_shardings, replicated, data_shard)
-    )
-    eval_step = make_eval_step(
-        bf16=cfg.bf16, out_shardings=(data_shard, data_shard),
-        per_example=True,
-    )
+    if use_pp:
+        train_step = make_pp_train_step(
+            model, mesh, n_micro, bf16=cfg.bf16,
+            out_shardings=(state_shardings, replicated, data_shard),
+        )
+        eval_step = make_pp_eval_step(
+            model, mesh, n_micro, bf16=cfg.bf16,
+            out_shardings=(data_shard, data_shard), per_example=True,
+        )
+    else:
+        train_step = make_train_step(
+            bf16=cfg.bf16,
+            out_shardings=(state_shardings, replicated, data_shard),
+        )
+        eval_step = make_eval_step(
+            bf16=cfg.bf16, out_shardings=(data_shard, data_shard),
+            per_example=True,
+        )
 
     def put(x):
         """Host batch -> mesh-sharded device array. ``cfg.batch_size`` is the
@@ -322,8 +391,17 @@ def _run(cfg: TrainConfig) -> dict:
         if cfg.ckpt_dir:
             to_save = state if gather_state is None else gather_state(state)
             if is_proc0:
+                host_state = jax.device_get(to_save)
+                if use_pp:
+                    # Persist in the canonical layout (rule 6): layout-
+                    # independent checkpoints, resumable under DP/TP.
+                    from kanvit.parallel.pipeline import pp_state_to_canonical
+
+                    host_state = pp_state_to_canonical(
+                        host_state, model.n_blocks
+                    )
                 save_checkpoint(
-                    cfg.ckpt_dir, jax.device_get(to_save), int(state.step)
+                    cfg.ckpt_dir, host_state, int(state.step)
                 )
 
     summary["train_time_sec"] = time.perf_counter() - train_t0

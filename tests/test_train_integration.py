@@ -95,6 +95,34 @@ def test_trainer_resume_with_tensor_parallel(tmp_path):
     assert np.isfinite(resumed["train_loss"])
 
 
+def test_pipeline_parallel_trainer_end_to_end(tmp_path):
+    """PP through the full trainer on a (4, 1, 2) mesh, and cross-layout
+    resume both ways: a PP checkpoint is canonical (ARCHITECTURE rule 6),
+    so a non-PP run resumes it, and a PP run resumes a non-PP checkpoint."""
+    from kanvit.train.checkpoint import latest_checkpoint
+
+    ck = str(tmp_path / "ck_pp")
+    base = dict(epochs=1, n_blocks=2, n_heads=2, ckpt_dir=ck)
+    first = run(_cfg(tmp_path, n_pipe_stages=2, **base))
+    assert np.isfinite(first["train_loss"])
+    step1 = int(os.path.basename(latest_checkpoint(ck)).split("_")[1].split(".")[0])
+    assert step1 == 6
+
+    # PP checkpoint -> plain DP resume (canonical layout on disk)
+    resumed_dp = run(_cfg(tmp_path, resume=True, **base))
+    assert np.isfinite(resumed_dp["train_loss"])
+    step2 = int(os.path.basename(latest_checkpoint(ck)).split("_")[1].split(".")[0])
+    assert step2 == 12
+
+    # DP checkpoint -> PP resume
+    resumed_pp = run(_cfg(tmp_path, resume=True, n_pipe_stages=2, **base))
+    assert np.isfinite(resumed_pp["train_loss"])
+    step3 = int(os.path.basename(latest_checkpoint(ck)).split("_")[1].split(".")[0])
+    assert step3 == 18
+    # loss continuity across both layout switches
+    assert resumed_pp["train_loss"] < first["train_loss"]
+
+
 def test_bf16_policy_trains(tmp_path):
     summary = run(_cfg(tmp_path, epochs=1, bf16=True))
     assert np.isfinite(summary["train_loss"])
