@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'pipe' mesh axis; composes with DP, not TP)")
     p.add_argument("--n-microbatches", type=int, default=0,
                    help="pipeline microbatches per step (0 = one per stage)")
+    p.add_argument("--grad-accum-steps", type=int, default=1,
+                   help="split each batch into this many chunks, accumulate "
+                        "gradients, apply one optimizer update (activation "
+                        "memory drops to one chunk; not with pipeline "
+                        "parallelism, which microbatches already)")
     # Multi-host (jax.distributed): DP laid across hosts over DCN. With no
     # flags set this is a no-op (single-process). On TPU pods the
     # coordinator/process args are usually auto-detected — pass
@@ -105,6 +110,7 @@ def main(argv=None) -> dict:
         n_model_shards=args.n_model_shards,
         n_pipe_stages=args.n_pipe_stages,
         n_microbatches=args.n_microbatches,
+        grad_accum_steps=args.grad_accum_steps,
         profile_dir=args.profile_dir,
         h2d_lookahead=args.h2d_lookahead,
         limit_train_batches=args.limit_train_batches,

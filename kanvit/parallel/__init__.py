@@ -1,4 +1,4 @@
-from kanvit.parallel import runtime
+from kanvit.parallel import pipeline, runtime
 from kanvit.parallel.mesh import (
     create_mesh,
     batch_sharding,
@@ -13,5 +13,6 @@ __all__ = [
     "param_shardings",
     "shard_state",
     "TP_RULES",
+    "pipeline",
     "runtime",
 ]

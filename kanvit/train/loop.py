@@ -64,6 +64,9 @@ class TrainConfig:
     # not with TP (kanvit/parallel/pipeline.py docstring).
     n_pipe_stages: int = 1
     n_microbatches: int = 0
+    # Gradient accumulation: chunks per batch in the non-PP step (one
+    # optimizer update per batch either way; PP microbatches already).
+    grad_accum_steps: int = 1
     profile_dir: str | None = None
     # H2D transfer lookahead depth (0 = off). device_put is async, so
     # issuing transfers ahead pipelines copies under executing steps on
@@ -201,6 +204,11 @@ def _run(cfg: TrainConfig) -> dict:
                 "parallelism (the grid refit operates on the canonical "
                 "param layout)"
             )
+        if cfg.grad_accum_steps > 1:
+            raise ValueError(
+                "--grad-accum-steps is redundant with pipeline "
+                "parallelism — use --n-microbatches"
+            )
         if cfg.batch_size % n_micro:
             raise ValueError(
                 f"batch {cfg.batch_size} not divisible by "
@@ -278,9 +286,15 @@ def _run(cfg: TrainConfig) -> dict:
             out_shardings=(data_shard, data_shard), per_example=True,
         )
     else:
+        if cfg.batch_size % max(cfg.grad_accum_steps, 1):
+            raise ValueError(
+                f"batch {cfg.batch_size} not divisible by "
+                f"--grad-accum-steps {cfg.grad_accum_steps}"
+            )
         train_step = make_train_step(
             bf16=cfg.bf16,
             out_shardings=(state_shardings, replicated, data_shard),
+            grad_accum=cfg.grad_accum_steps,
         )
         eval_step = make_eval_step(
             bf16=cfg.bf16, out_shardings=(data_shard, data_shard),

@@ -32,7 +32,8 @@ def _loss_and_logits(apply_fn, params, x, y, bf16: bool, reduce: bool = True):
 
 
 def make_train_step(
-    bf16: bool = False, donate: bool = True, out_shardings=None
+    bf16: bool = False, donate: bool = True, out_shardings=None,
+    grad_accum: int = 1,
 ) -> Callable:
     """Returns ``step(state, x, y) -> (state, loss, logits)`` (jitted).
 
@@ -40,13 +41,49 @@ def make_train_step(
     layout — required when the step is AOT-compiled with donated buffers and
     sharded params, so the returned state's shardings keep matching the
     executable's inputs across steps.
+
+    ``grad_accum > 1`` splits the batch into that many chunks and runs
+    them through a ``lax.scan``, accumulating gradients and applying ONE
+    optimizer update — activation memory drops to one chunk's worth, so
+    effective batches can exceed what HBM fits in a single backward. CE
+    is a per-example mean, so the averaged chunk gradients equal the
+    full-batch gradient exactly (same update, same loss, chunk-count
+    invariant). The reference has no equivalent (constant batch 128,
+    ``train.py:88-90``).
     """
 
     def train_step(state, x, y):
-        (loss, logits), grads = jax.value_and_grad(
-            lambda p: _loss_and_logits(state.apply_fn, p, x, y, bf16), has_aux=True
-        )(state.params)
-        return state.apply_gradients(grads=grads), loss, logits
+        if grad_accum <= 1:
+            (loss, logits), grads = jax.value_and_grad(
+                lambda p: _loss_and_logits(state.apply_fn, p, x, y, bf16),
+                has_aux=True,
+            )(state.params)
+            return state.apply_gradients(grads=grads), loss, logits
+
+        b = x.shape[0]
+        if b % grad_accum:
+            raise ValueError(
+                f"batch {b} not divisible by grad_accum={grad_accum}"
+            )
+        xs = x.reshape(grad_accum, b // grad_accum, *x.shape[1:])
+        ys = y.reshape(grad_accum, b // grad_accum)
+
+        def body(acc, xy):
+            xi, yi = xy
+            (loss, logits), grads = jax.value_and_grad(
+                lambda p: _loss_and_logits(state.apply_fn, p, xi, yi, bf16),
+                has_aux=True,
+            )(state.params)
+            return (
+                jax.tree.map(jnp.add, acc, grads),
+                (loss, logits),
+            )
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        acc, (losses, logits) = jax.lax.scan(body, zero, (xs, ys))
+        grads = jax.tree.map(lambda g: g / grad_accum, acc)
+        logits = logits.reshape(b, *logits.shape[2:])
+        return state.apply_gradients(grads=grads), losses.mean(), logits
 
     kw = {}
     if out_shardings is not None:

@@ -60,7 +60,14 @@ def test_split_merge_roundtrip():
     )
 
 
-@pytest.mark.parametrize("n_pipe,n_micro", [(4, 4), (2, 2), (4, 8)])
+@pytest.mark.parametrize(
+    "n_pipe,n_micro",
+    [
+        (4, 4),
+        pytest.param(2, 2, marks=pytest.mark.slow),
+        pytest.param(4, 8, marks=pytest.mark.slow),
+    ],
+)
 def test_pp_train_step_matches_single_device(n_pipe, n_micro):
     """One PP train step == one single-device step: loss, logits, and the
     raw GRADIENTS all match. Gradients (not Adam-updated params) are the
@@ -116,7 +123,10 @@ def test_pp_train_step_matches_single_device(n_pipe, n_micro):
     )
 
 
-@pytest.mark.parametrize("kind", ["efficientkan", "flash-attn"])
+@pytest.mark.parametrize(
+    "kind",
+    ["efficientkan", pytest.param("flash-attn", marks=pytest.mark.slow)],
+)
 def test_pp_variant_forward_parity(kind):
     """KAN-projection blocks and the raw flash-attn block stack both run
     through the pipeline with single-device logits."""
@@ -165,6 +175,69 @@ def test_pp_stage_params_actually_sharded():
     # Each device holds 1 of the 4 stacked blocks.
     shard = leaf.addressable_shards[0]
     assert shard.data.shape[0] == 1
+
+
+@pytest.mark.slow  # interpret-mode kernels inside the pipeline: ~40s
+def test_pp_forced_pallas_parity():
+    """KANVIT_IMPL=pallas under the PP mesh: stage bodies run inside the
+    pipeline shard_map with ``runtime.local_region`` active, so kernel
+    entries launch bare per-device pallas_calls on local shards — the
+    code path a real pipe-sharded TPU mesh runs. Values and grads must
+    match the unsharded jnp ground truth (the TP analogue is
+    test_sharding.py::test_msa_sharded_forced_pallas_parity)."""
+    from kanvit.ops import dispatch
+    from kanvit.parallel.pipeline import make_block_module, _pp_forward
+
+    model = _model("efficientkan", n_blocks=2)
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, rng, jnp.zeros((1, 1, 28, 28)))
+    x, y = _data(8)
+
+    prev = dispatch.get_impl()
+    try:
+        import optax
+
+        dispatch.set_impl("jnp")
+        ref_logits = jax.jit(
+            lambda p, xx: model.apply({"params": p}, xx)
+        )(state.params, x)
+
+        def ref_loss_fn(p):
+            logits = model.apply({"params": p}, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        ref_grads = jax.jit(jax.grad(ref_loss_fn))(state.params)
+
+        dispatch.set_impl("pallas")
+        mesh = create_mesh(n_pipe=2)
+        pstate = _pp_setup(model, mesh)
+        block = make_block_module(model)
+        sx = jax.device_put(x, batch_sharding(mesh))
+        sy = jax.device_put(y, batch_sharding(mesh))
+
+        def pp_loss_fn(p):
+            logits = _pp_forward(model, block, mesh, 2, p, sx, False)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, sy
+            ).mean()
+
+        logits = jax.jit(
+            lambda p: _pp_forward(model, block, mesh, 2, p, sx, False)
+        )(pstate.params)
+        assert np.abs(np.asarray(logits) - np.asarray(ref_logits)).max() < 1e-4
+        pp_grads = merge_params(
+            jax.device_get(jax.jit(jax.grad(pp_loss_fn))(pstate.params)), 2
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+            ),
+            jax.device_get(ref_grads), pp_grads,
+        )
+    finally:
+        dispatch.set_impl(prev)
 
 
 def test_pp_state_canonical_roundtrip():

@@ -40,3 +40,36 @@ def test_train_scan_matches_sequential_steps():
         np.asarray(st_seq.params["v_class"]), rtol=1e-5, atol=1e-6,
     )
     assert int(st_scan.step) == int(st_seq.step) == K
+
+
+def test_grad_accum_matches_full_batch_step():
+    """CE is a per-example mean, so averaged chunk gradients equal the
+    full-batch gradient exactly: one accumulated step must reproduce the
+    plain step's loss, logits, and updated params (chunk-count invariant,
+    modulo f32 reduction order)."""
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, 28, 28)))
+    B = 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, 10)
+
+    st0, loss0, logits0 = make_train_step(donate=False)(state, x, y)
+    for a in (2, 4):
+        st_a, loss_a, logits_a = make_train_step(
+            donate=False, grad_accum=a
+        )(state, x, y)
+        assert abs(float(loss0) - float(loss_a)) < 1e-6
+        np.testing.assert_allclose(
+            np.asarray(logits_a), np.asarray(logits0), rtol=1e-5, atol=1e-6
+        )
+        jax.tree.map(
+            lambda p, q: np.testing.assert_allclose(
+                np.asarray(p), np.asarray(q), rtol=1e-4, atol=1e-6
+            ),
+            st_a.params, st0.params,
+        )
+        assert int(st_a.step) == 1
