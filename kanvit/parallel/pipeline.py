@@ -319,9 +319,12 @@ def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3):
             "pipeline parallelism with stateful B-spline grids: the grid "
             "refit step operates on the canonical layout"
         )
-    from kanvit.train.state import TrainState
+    from kanvit.train.state import TrainState, make_optimizer
 
     params = model.init(rng, sample_input)["params"]
     pp = split_params(params, model.n_blocks)
-    tx = optax.adam(learning_rate)
+    # Same factory as create_train_state (sans the grid-grad chain, which
+    # PP rejects above) so the PP<->canonical opt_state conversion in
+    # checkpoint restore can never drift from the canonical update rule.
+    tx = make_optimizer(learning_rate)
     return TrainState.create(apply_fn=model.apply, params=pp, tx=tx)

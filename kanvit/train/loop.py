@@ -160,7 +160,26 @@ def run(cfg: TrainConfig) -> dict:
         runtime.activate_mesh(None)
 
 
+def _validate_config(cfg: TrainConfig) -> None:
+    """Pure-config cross-flag validation, before any data/model work."""
+    if cfg.n_pipe_stages <= 1 and cfg.n_microbatches:
+        raise ValueError(
+            "--n-microbatches requires --n-pipe-stages > 1 (no pipeline, "
+            "no microbatching; use --grad-accum-steps to shrink activation "
+            "memory without a pipeline)"
+        )
+    if cfg.n_pipe_stages > 1 and cfg.n_model_shards > 1:
+        raise ValueError(
+            "--n-pipe-stages > 1 does not compose with --n-model-shards > 1: "
+            "the pipeline's shard_map leaves the 'model' axis unmentioned, "
+            "which would silently replicate stage compute and psum block "
+            "gradients over 'model' (docs/ARCHITECTURE.md rule 6). Use PP "
+            "with DP, or TP with DP."
+        )
+
+
 def _run(cfg: TrainConfig) -> dict:
+    _validate_config(cfg)
     metrics_file = setup_logging(cfg.log_dir, dataset=cfg.dataset)
     log = logging.getLogger("kanvit.train")
     devices = jax.devices()

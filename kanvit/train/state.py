@@ -18,6 +18,15 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+    """The canonical optimizer (reference ``torch.optim.Adam(lr)``,
+    ``train.py:22-23``). Single factory shared with the pipeline layout
+    (``parallel.pipeline.create_pp_state``) so the two cannot drift — the
+    PP<->canonical checkpoint conversion maps moment trees leaf-for-leaf
+    and silently corrupts optimizer state if the update rules differ."""
+    return optax.adam(learning_rate)
+
+
 def create_train_state(
     model: Any,
     rng: jax.Array,
@@ -25,7 +34,7 @@ def create_train_state(
     learning_rate: float = 1e-3,
 ) -> TrainState:
     params = model.init(rng, sample_input)["params"]
-    tx = optax.adam(learning_rate)
+    tx = make_optimizer(learning_rate)
     # Stateful B-spline grids (models built with stateful_grid=True) live in
     # the param tree so checkpointing/sharding see them, but they are knot
     # positions, not weights: zero their gradients ahead of Adam — only the

@@ -33,3 +33,18 @@ def test_all_variants_accepted():
                "flash-attn"]:
         args = build_parser().parse_args(["--model-type", vt])
         assert args.model_type == vt
+
+
+def test_config_cross_flag_guards():
+    """Silently-wrong flag combos must fail loudly before any work:
+    PP x TP would replicate stage compute over 'model' (ARCHITECTURE rule
+    6), and --n-microbatches without a pipeline is a no-op."""
+    import pytest
+
+    from kanvit.train.loop import TrainConfig, _validate_config
+
+    with pytest.raises(ValueError, match="n-microbatches"):
+        _validate_config(TrainConfig(n_microbatches=4))
+    with pytest.raises(ValueError, match="does not compose"):
+        _validate_config(TrainConfig(n_pipe_stages=2, n_model_shards=2))
+    _validate_config(TrainConfig(n_pipe_stages=2, n_microbatches=4))
