@@ -25,30 +25,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_model(dim, heads, n_blocks, vocab):
-    import flax.linen as nn
-    import jax.numpy as jnp
+def build_model(dim, heads, n_blocks, vocab, seq_axis=None):
+    from kanvit.models import CausalDecoder
 
-    from kanvit.layers.attention import FlashAttentionBlock
-    from kanvit.layers.kan import TorchLinear
-
-    class CausalDecoder(nn.Module):
-        @nn.compact
-        def __call__(self, tokens):  # (B, T) int32
-            x = nn.Embed(vocab, dim, name="embed")(tokens)
-            for i in range(n_blocks):
-                x = x + FlashAttentionBlock(
-                    dim=dim, heads=heads, dim_head=dim // heads,
-                    causal=True, name=f"blocks_{i}",
-                )(x)
-            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-            return TorchLinear(dim, vocab, name="lm_head")(x)
-
-    return CausalDecoder()
+    return CausalDecoder(vocab=vocab, dim=dim, heads=heads,
+                         n_blocks=n_blocks, seq_axis=seq_axis)
 
 
 def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl,
-                 bf16=False):
+                 bf16=False, ring=0):
+    import contextlib
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -56,9 +43,28 @@ def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl,
     from kanvit.ops import dispatch
 
     dispatch.set_impl(impl)
-    model = build_model(dim, heads, n_blocks, vocab)
+    mesh_ctx = contextlib.nullcontext()
+    if ring:
+        # Sequence parallelism: T sharded `ring`-way over the mesh's 'data'
+        # axis, ring attention inside every block (k/v chunks rotate via
+        # ppermute). Needs `ring` JAX devices — on the single-chip axon host
+        # run under a simulated CPU mesh:
+        #   JAX_PLATFORM_NAME=cpu \
+        #   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        #   python benchmarks/causal_decoder.py --ring 8 --seqs 8192
+        from jax.sharding import NamedSharding, PartitionSpec as PS
+
+        from kanvit.parallel import runtime
+        from kanvit.parallel.mesh import create_mesh
+
+        mesh = create_mesh(n_data=ring, devices=jax.devices()[:ring])
+        mesh_ctx = runtime.mesh_active(mesh)
+    model = build_model(dim, heads, n_blocks, vocab,
+                        seq_axis="data" if ring else None)
     rng = jax.random.PRNGKey(0)
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch, seq), 0, vocab)
+    if ring:
+        tokens = jax.device_put(tokens, NamedSharding(mesh, PS(None, "data")))
     params = model.init(rng, tokens)["params"]
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)
@@ -81,17 +87,18 @@ def bench_config(seq, batch, dim, heads, n_blocks, vocab, steps, warmup, impl,
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), o, loss
 
-    for _ in range(warmup):
-        params, opt_state, loss = step(params, opt_state, tokens)
-    loss_val = float(loss)  # hard sync
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state, tokens)
-    float(loss)
-    dt = time.perf_counter() - t0
+    with mesh_ctx:
+        for _ in range(warmup):
+            params, opt_state, loss = step(params, opt_state, tokens)
+        loss_val = float(loss)  # hard sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            params, opt_state, loss = step(params, opt_state, tokens)
+        float(loss)
+        dt = time.perf_counter() - t0
     step_ms = dt / steps * 1000
     tok_s = batch * seq * steps / dt
-    return dict(seq=seq, batch=batch, impl=impl, bf16=bf16,
+    return dict(seq=seq, batch=batch, impl=impl, bf16=bf16, ring=ring,
                 step_ms=round(step_ms, 2),
                 tokens_per_sec=round(tok_s, 0), loss=round(loss_val, 4))
 
@@ -109,17 +116,27 @@ def main():
                    help="batch = tokens_per_batch // seq (>=1)")
     p.add_argument("--skip-naive", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--ring", type=int, default=0,
+                   help="shard T this many ways over a mesh and use ring "
+                        "attention (sequence parallelism); needs that many "
+                        "JAX devices — simulate with JAX_PLATFORM_NAME=cpu "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N")
     args = p.parse_args()
 
     results = []
     for seq in args.seqs:
         batch = max(1, args.tokens_per_batch // seq)
         impls = ["pallas"] if args.skip_naive else ["pallas", "jnp"]
+        if args.ring:
+            # Ring attention is its own implementation (einsum chunk folds
+            # inside shard_map); one run suffices, and on a simulated CPU
+            # mesh the Pallas kernels are unavailable anyway.
+            impls = ["auto"]
         for impl in impls:
             try:
                 r = bench_config(seq, batch, args.dim, args.heads,
                                  args.n_blocks, args.vocab, args.steps,
-                                 args.warmup, impl, args.bf16)
+                                 args.warmup, impl, args.bf16, args.ring)
             except Exception as e:  # naive path OOMs at long seq — record it
                 r = dict(seq=seq, batch=batch, impl=impl,
                          error=type(e).__name__, detail=str(e)[:200])
@@ -132,10 +149,10 @@ def main():
                  f"vocab {args.vocab}, next-token CE + Adam",
         "results": results,
     }
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "causal_decoder_bf16.json" if args.bf16 else "causal_decoder.json",
-    )
+    name = "causal_decoder_bf16.json" if args.bf16 else "causal_decoder.json"
+    if args.ring:  # never clobber the single-chip numbers with a ring run
+        name = f"causal_decoder_ring{args.ring}.json"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(f"wrote {path}")

@@ -339,3 +339,32 @@ def test_msa_sharded_indivisible_heads_falls_back():
     with runtime.mesh_active(mesh):
         y1 = jax.jit(msa.apply)(sp, sx)
     assert np.abs(np.asarray(y1 - y0)).max() < 1e-5
+
+
+def test_causal_decoder_ring_matches_single_device():
+    """The CausalDecoder model with seq_axis='data' (T sharded 8-way, ring
+    attention in every block) must match the unsharded decoder's logits
+    and grads — the user-facing SP surface over the layer-level ring."""
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from kanvit.models import CausalDecoder
+
+    vocab, seq = 32, 64
+    toks = jax.random.randint(jax.random.PRNGKey(90), (2, seq), 0, vocab)
+    dec0 = CausalDecoder(vocab=vocab, dim=32, heads=2, n_blocks=2)
+    params = {"params": dec0.init(jax.random.PRNGKey(91), toks)["params"]}
+    y0 = dec0.apply(params, toks)
+    g0 = jax.grad(lambda p: (dec0.apply(p, toks) ** 2).sum())(params)
+
+    dec1 = CausalDecoder(vocab=vocab, dim=32, heads=2, n_blocks=2,
+                         seq_axis="data")
+    mesh = create_mesh()  # (8, 1)
+    st = jax.device_put(toks, NamedSharding(mesh, PS(None, "data")))
+    with runtime.mesh_active(mesh):
+        y1 = jax.jit(dec1.apply)(params, st)
+        g1 = jax.jit(jax.grad(lambda p: (dec1.apply(p, st) ** 2).sum()))(params)
+    assert np.abs(np.asarray(y1 - y0)).max() < 1e-4
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.abs(np.asarray(a - b)).max() < 1e-2 * max(
+            1.0, float(np.abs(np.asarray(a)).max())
+        )
