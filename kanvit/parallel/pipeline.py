@@ -19,11 +19,19 @@ The embedding and head run outside the pipeline under plain ``jit`` (their
 params are tiny and replicated over ``pipe``; batch stays sharded over
 ``data``) — the standard treatment for small non-repeated ends.
 
-Composition: PP composes with DP (batch on ``data``, stages on ``pipe``).
-PP does not compose with TP in this first cut — stage params enter the
-``shard_map`` replicated over ``model`` (sharding them would require
-manual TP collectives inside the stage body; the SPMD partitioner cannot
-see through a shard_map). ``docs/ARCHITECTURE.md`` records the rule.
+Composition: PP composes with DP (batch on ``data``, stages on ``pipe``)
+and — for the six TransformerBlock variants — with TP over ``model``: the
+SPMD partitioner cannot see through a shard_map, so the stage body inserts
+the TP collectives BY HAND (``_tp_block_fwd``). The variant MSA is
+per-head-lane local (head h maps ``x[..., h*dh:(h+1)*dh]``, no output
+projection — SURVEY §2.9.4), so head-parallel attention needs one lane
+``all_gather``; the FF pair is the Megatron split (ff_0 row-sharded,
+ff_2 column-sharded, one ``psum``). Replicated leaves (norms, ff_2 bias)
+ride shard_map's unmentioned-axis transpose: each shard's cotangent is a
+genuine partial, so the automatic psum over ``model`` reconstructs the
+exact gradient. flash-attn blocks are excluded (its fused ``to_kv``
+row-shards into a k-half and a v-half — no local attention is possible);
+PP alone still covers them.
 
 State layout: the PP train state holds ``{"outer": ..., "blocks": ...}``
 where ``blocks`` leaves carry a leading ``n_blocks`` axis sharded
@@ -109,18 +117,125 @@ def canonical_state_to_pp(state, n_blocks: int):
     )
 
 
-def pp_param_shardings(pp_params, mesh: Mesh):
-    """Shardings for the pipeline layout: ``blocks`` leaves split on their
-    leading block axis over ``pipe``; ``outer`` follows the TP rules
-    (in practice replicated — no rule matches the mapper/head)."""
-    outer = param_shardings(pp_params["outer"], mesh)
+def pp_block_specs(stacked, mesh: Mesh):
+    """PartitionSpec tree for the stacked block params: leading block axis
+    over ``pipe``; under PP x TP the attention head axes and FF pair
+    additionally shard over ``model`` (the canonical TP_RULES shifted one
+    axis right by the block stacking). One function feeds BOTH the at-rest
+    shardings and the pipeline shard_map's in_specs, so they cannot
+    disagree."""
+    import re
+
+    from kanvit.parallel.mesh import TP_RULES
+
     n_pipe = mesh.shape.get("pipe", 1)
+    n_model = mesh.shape.get("model", 1)
 
-    def blk(leaf):
-        spec = P("pipe") if n_pipe > 1 and leaf.shape[0] % n_pipe == 0 else P()
-        return NamedSharding(mesh, spec)
+    def one(path, leaf):
+        p0 = "pipe" if n_pipe > 1 and leaf.shape[0] % n_pipe == 0 else None
+        rest = ()
+        if n_model > 1:
+            keys = "blocks/" + "/".join(
+                str(getattr(k, "key", k)) for k in path
+            )
+            for pat, s in TP_RULES:
+                if re.fullmatch(pat, keys):
+                    rest = tuple(s)
+                    break
+            for i, ax in enumerate(rest):
+                if ax is not None and leaf.shape[i + 1] % n_model:
+                    raise ValueError(
+                        f"PP x TP: {keys} axis {i + 1} ({leaf.shape}) not "
+                        f"divisible by model={n_model}"
+                    )
+        return P(p0, *rest)
 
-    return {"outer": outer, "blocks": jax.tree.map(blk, pp_params["blocks"])}
+    return jax.tree_util.tree_map_with_path(one, stacked)
+
+
+def pp_param_shardings(pp_params, mesh: Mesh):
+    """Shardings for the pipeline layout: ``blocks`` leaves per
+    ``pp_block_specs``; ``outer`` follows the TP rules (in practice
+    replicated — no rule matches the mapper/head)."""
+    outer = param_shardings(pp_params["outer"], mesh)
+    specs = pp_block_specs(pp_params["blocks"], mesh)
+    return {
+        "outer": outer,
+        "blocks": jax.tree.map(lambda s: NamedSharding(mesh, s), specs),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PP x TP: manual tensor-parallel stage body
+# ---------------------------------------------------------------------------
+
+def pp_tp_reason(model_type: str, n_heads: int, d_hidden: int,
+                 n_model: int) -> str | None:
+    """None when PP x TP is supported for this geometry, else why not."""
+    if n_model <= 1:
+        return None
+    if model_type == "flash-attn":
+        return (
+            "flash-attn blocks cannot ride the manual PP x TP stage body: "
+            "row-sharding the fused to_kv weight splits it into a k-half "
+            "and a v-half, so no shard can attend locally (use PP x DP)"
+        )
+    if n_heads % n_model:
+        return f"n_heads={n_heads} not divisible by n_model={n_model}"
+    if (4 * d_hidden) % n_model:
+        return (
+            f"feed-forward dim {4 * d_hidden} not divisible by "
+            f"n_model={n_model}"
+        )
+    return None
+
+
+def _ln(x, p, eps: float = 1e-5):
+    """LayerNorm in flax's fast-variance form (matches TransformerBlock's
+    ``nn.LayerNorm(epsilon=1e-5)``) — replicated compute on every model
+    shard."""
+    mu = x.mean(-1, keepdims=True)
+    var = jnp.maximum((x * x).mean(-1, keepdims=True) - mu * mu, 0.0)
+    return (x - mu) * lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _tp_block_fwd(model, n_model: int, model_axis: str = "model"):
+    """One TransformerBlock forward per model shard, TP collectives by hand.
+
+    The variant MSA has no output projection and head h reads only lanes
+    ``h*dh:(h+1)*dh`` (reference ``model.py:14-37`` + SURVEY §2.9.4), so
+    each shard slices its head lanes, runs the full local qkv/attention
+    cascade (``_fused_attend_local`` — the same body ``_msa_sharded`` uses
+    outside the pipeline), and one tiled ``all_gather`` reassembles the
+    lane-concat MSA output. The FF pair is Megatron-split: ff_0 rows +
+    bias local, ff_2 columns local, ``psum`` over ``model`` completes the
+    contraction; ff_2's bias and both norms stay replicated (their partial
+    cotangents are summed by shard_map's unmentioned-axis transpose)."""
+    d = model.d_hidden
+    d_head = d // model.n_heads
+    hl = model.n_heads // n_model
+    kind = model.type
+
+    def fwd(p, x):
+        from kanvit.layers.attention import _fused_attend_local
+
+        i = lax.axis_index(model_axis)
+        h = _ln(x, p["norm1"])
+        xs = lax.dynamic_slice_in_dim(
+            h, i * hl * d_head, hl * d_head, axis=2
+        )
+        a = _fused_attend_local(
+            xs, p["attn"]["q_mappings"], p["attn"]["k_mappings"],
+            p["attn"]["v_mappings"], kind=kind, d_head=d_head, n_heads=hl,
+        )
+        a = lax.all_gather(a, model_axis, axis=2, tiled=True)
+        x = x + a.astype(x.dtype)
+        h2 = _ln(x, p["norm2"])
+        hh = jax.nn.relu(h2 @ p["ff_0"]["weight"].T + p["ff_0"]["bias"])
+        y = lax.psum(hh @ p["ff_2"]["weight"].T, model_axis)
+        return x + y + p["ff_2"]["bias"]
+
+    return fwd
 
 
 # ---------------------------------------------------------------------------
@@ -180,17 +295,31 @@ def pipeline_blocks(
     *,
     pipe_axis: str = "pipe",
     data_axis: str = "data",
+    model_axis: str = "model",
     remat: bool = True,
+    tp_fwd=None,
 ):
     """Run ``tokens (B, T, D)`` through the stacked block params, pipelined
     over ``pipe_axis`` with ``n_micro`` microbatches. With no mesh (or a
-    1-device pipe axis) this is a plain ``lax.scan`` over blocks."""
+    1-device pipe axis) this is a plain ``lax.scan`` over blocks.
+
+    When the mesh's ``model`` axis exceeds 1 the caller must supply
+    ``tp_fwd`` (``_tp_block_fwd``): the per-shard block forward with manual
+    TP collectives, and the stacked params enter the shard_map sharded per
+    ``pp_block_specs`` (heads/FF over ``model``)."""
     n_blocks = jax.tree.leaves(stacked)[0].shape[0]
     n_stages = mesh.shape.get(pipe_axis, 1) if mesh is not None else 1
+    n_model = mesh.shape.get(model_axis, 1) if mesh is not None else 1
+    if n_stages > 1 and n_model > 1 and tp_fwd is None:
+        raise ValueError(
+            "pipeline: mesh has a model axis > 1 — pass the manual-TP "
+            "stage body (tp_fwd; see _tp_block_fwd / pp_tp_reason)"
+        )
+    apply_one = tp_fwd if (n_stages > 1 and n_model > 1) else block_apply
 
     def stage_fn(p_stack, x):
         def body(c, p):
-            return block_apply(p, c), None
+            return apply_one(p, c), None
 
         out, _ = lax.scan(body, x, p_stack)
         return out
@@ -219,10 +348,14 @@ def pipeline_blocks(
                 axis=pipe_axis, n_stages=n_stages, n_micro=n_micro,
             )
 
+    block_specs = (
+        pp_block_specs(stacked, mesh) if n_model > 1
+        else jax.tree.map(lambda _: P(pipe_axis), stacked)
+    )
     out = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(pipe_axis), P(None, data_axis)),
+        in_specs=(block_specs, P(None, data_axis)),
         out_specs=P(pipe_axis, None, data_axis),
         check_vma=False,
     )(stacked, xs)
@@ -252,7 +385,8 @@ def make_block_module(model):
     )
 
 
-def _pp_forward(model, block, mesh, n_micro, pp_params, x, bf16: bool):
+def _pp_forward(model, block, mesh, n_micro, pp_params, x, bf16: bool,
+                tp_fwd=None):
     if bf16:
         pp_params = jax.tree.map(
             lambda p: p.astype(jnp.bfloat16)
@@ -264,9 +398,19 @@ def _pp_forward(model, block, mesh, n_micro, pp_params, x, bf16: bool):
     tokens = model.apply(outer, x, method="embed")
     out = pipeline_blocks(
         lambda p, t: block.apply({"params": p}, t),
-        pp_params["blocks"], tokens, mesh, n_micro,
+        pp_params["blocks"], tokens, mesh, n_micro, tp_fwd=tp_fwd,
     )
     return model.apply(outer, out, method="head").astype(jnp.float32)
+
+
+def _pp_tp_fwd_or_raise(model, mesh):
+    nm = mesh.shape.get("model", 1)
+    if nm <= 1:
+        return None
+    reason = pp_tp_reason(model.type, model.n_heads, model.d_hidden, nm)
+    if reason:
+        raise ValueError(f"PP x TP unsupported: {reason}")
+    return _tp_block_fwd(model, nm)
 
 
 def make_pp_train_step(model, mesh, n_micro, bf16=False, donate=True,
@@ -274,10 +418,12 @@ def make_pp_train_step(model, mesh, n_micro, bf16=False, donate=True,
     """``step(state, x, y) -> (state, loss, logits)`` over the pipeline
     layout (state.params = ``{"outer", "blocks"}``)."""
     block = make_block_module(model)
+    tp_fwd = _pp_tp_fwd_or_raise(model, mesh)
 
     def train_step(state, x, y):
         def loss_fn(p):
-            logits = _pp_forward(model, block, mesh, n_micro, p, x, bf16)
+            logits = _pp_forward(model, block, mesh, n_micro, p, x, bf16,
+                                 tp_fwd)
             loss = optax.softmax_cross_entropy_with_integer_labels(
                 logits, y
             ).mean()
@@ -297,10 +443,11 @@ def make_pp_train_step(model, mesh, n_micro, bf16=False, donate=True,
 def make_pp_eval_step(model, mesh, n_micro, bf16=False, out_shardings=None,
                       per_example: bool = False):
     block = make_block_module(model)
+    tp_fwd = _pp_tp_fwd_or_raise(model, mesh)
 
     def eval_step(state, x, y):
         logits = _pp_forward(
-            model, block, mesh, n_micro, state.params, x, bf16
+            model, block, mesh, n_micro, state.params, x, bf16, tp_fwd
         )
         loss = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         return (loss if per_example else loss.mean()), logits

@@ -169,13 +169,15 @@ def _validate_config(cfg: TrainConfig) -> None:
             "memory without a pipeline)"
         )
     if cfg.n_pipe_stages > 1 and cfg.n_model_shards > 1:
-        raise ValueError(
-            "--n-pipe-stages > 1 does not compose with --n-model-shards > 1: "
-            "the pipeline's shard_map leaves the 'model' axis unmentioned, "
-            "which would silently replicate stage compute and psum block "
-            "gradients over 'model' (docs/ARCHITECTURE.md rule 6). Use PP "
-            "with DP, or TP with DP."
+        from kanvit.parallel.pipeline import pp_tp_reason
+
+        reason = pp_tp_reason(
+            cfg.model_type, cfg.n_heads, cfg.d_hidden, cfg.n_model_shards
         )
+        if reason:
+            raise ValueError(
+                f"--n-pipe-stages with --n-model-shards: {reason}"
+            )
 
 
 def _run(cfg: TrainConfig) -> dict:

@@ -37,14 +37,21 @@ def test_all_variants_accepted():
 
 def test_config_cross_flag_guards():
     """Silently-wrong flag combos must fail loudly before any work:
-    PP x TP would replicate stage compute over 'model' (ARCHITECTURE rule
-    6), and --n-microbatches without a pipeline is a no-op."""
+    unsupported PP x TP geometries (flash-attn blocks, indivisible
+    heads), and --n-microbatches without a pipeline (a no-op)."""
     import pytest
 
     from kanvit.train.loop import TrainConfig, _validate_config
 
     with pytest.raises(ValueError, match="n-microbatches"):
         _validate_config(TrainConfig(n_microbatches=4))
-    with pytest.raises(ValueError, match="does not compose"):
-        _validate_config(TrainConfig(n_pipe_stages=2, n_model_shards=2))
+    with pytest.raises(ValueError, match="flash-attn"):
+        _validate_config(TrainConfig(n_pipe_stages=2, n_model_shards=2,
+                                     model_type="flash-attn"))
+    with pytest.raises(ValueError, match="not divisible"):
+        _validate_config(TrainConfig(n_pipe_stages=2, n_model_shards=3,
+                                     n_heads=8))
+    # Supported PP x TP geometry validates clean.
+    _validate_config(TrainConfig(n_pipe_stages=2, n_model_shards=2,
+                                 n_heads=8, d_hidden=64))
     _validate_config(TrainConfig(n_pipe_stages=2, n_microbatches=4))

@@ -287,3 +287,65 @@ def test_pp_divisibility_errors():
     with pytest.raises(ValueError, match="not divisible"):
         step(pstate, jax.device_put(x, batch_sharding(mesh)),
              jax.device_put(y, batch_sharding(mesh)))
+
+
+@pytest.mark.parametrize("kind", ["vanilla", "efficientkan"])
+def test_pp_tp_train_step_matches_single_device(kind):
+    """PP x TP on a true 3-axis (2, 2, 2) data x model x pipe mesh: the
+    manual TP collectives inside the pipeline stage body (lane all_gather
+    after the per-head MSA, psum after the Megatron FF pair) must
+    reproduce the single-device loss, logits, and raw gradients."""
+    import optax
+
+    from kanvit.parallel.pipeline import (
+        _pp_forward, _pp_tp_fwd_or_raise, make_block_module,
+    )
+
+    model = _model(kind, n_blocks=4)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, 28, 28)))
+    x, y = _data()
+    _, ref_loss, ref_logits = make_train_step(donate=False)(state, x, y)
+
+    def ref_loss_fn(p):
+        logits = model.apply({"params": p}, x)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y
+        ).mean()
+
+    ref_grads = jax.jit(jax.grad(ref_loss_fn))(state.params)
+
+    mesh = create_mesh(n_data=2, n_model=2, n_pipe=2)
+    pstate = _pp_setup(model, mesh)
+    step = make_pp_train_step(model, mesh, n_micro=2, donate=False)
+    sx = jax.device_put(x, batch_sharding(mesh))
+    sy = jax.device_put(y, batch_sharding(mesh))
+    _, loss, logits = step(pstate, sx, sy)
+    assert np.allclose(float(ref_loss), float(loss), atol=1e-5)
+    assert np.allclose(np.asarray(ref_logits), np.asarray(logits), atol=1e-4)
+
+    block = make_block_module(model)
+    tp_fwd = _pp_tp_fwd_or_raise(model, mesh)
+
+    def pp_loss_fn(p):
+        logits = _pp_forward(model, block, mesh, 2, p, sx, False, tp_fwd)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, sy
+        ).mean()
+
+    pp_grads = merge_params(
+        jax.device_get(jax.jit(jax.grad(pp_loss_fn))(pstate.params)), 4
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6
+        ),
+        jax.device_get(ref_grads), pp_grads,
+    )
+
+
+def test_pp_tp_flash_attn_rejected():
+    model = _model("flash-attn", n_blocks=4)
+    mesh = create_mesh(n_data=2, n_model=2, n_pipe=2)
+    with pytest.raises(ValueError, match="flash-attn"):
+        make_pp_train_step(model, mesh, n_micro=2, donate=False)
