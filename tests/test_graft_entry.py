@@ -42,7 +42,8 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
-def test_dryrun_multichip_2():
+@pytest.mark.slow  # subprocess bootstrap recompiles every family (~70 s);
+def test_dryrun_multichip_2():  # the driver runs the dryrun itself anyway
     ge = _load_graft()
     ge.dryrun_multichip(2)
 

@@ -289,7 +289,10 @@ def test_pp_divisibility_errors():
              jax.device_put(y, batch_sharding(mesh)))
 
 
-@pytest.mark.parametrize("kind", ["vanilla", "efficientkan"])
+@pytest.mark.parametrize(
+    "kind",
+    ["vanilla", pytest.param("efficientkan", marks=pytest.mark.slow)],
+)
 def test_pp_tp_train_step_matches_single_device(kind):
     """PP x TP on a true 3-axis (2, 2, 2) data x model x pipe mesh: the
     manual TP collectives inside the pipeline stage body (lane all_gather

@@ -199,6 +199,7 @@ def test_train_step_sharded_forced_pallas_matches_jnp():
         dispatch.set_impl(prev)
 
 
+@pytest.mark.slow  # ~27 s: full train-and-refit under the mesh
 def test_stateful_grid_trains_and_refits_under_mesh():
     """Adaptive B-spline grids under the (4, 2) mesh: the fused shard-map
     path declines (stateful grids keep the module path so kan_inputs sow),

@@ -13,7 +13,7 @@ from kanvit.train.steps import make_train_scan, make_train_step
 
 def test_train_scan_matches_sequential_steps():
     model = create_model(
-        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=1,
         d_hidden=32, n_heads=4, out_d=10,
     )
     state = create_train_state(model, jax.random.PRNGKey(0),
@@ -61,7 +61,7 @@ def test_grad_accum_matches_full_batch_step():
     from kanvit.train.steps import _loss_and_logits
 
     model = create_model(
-        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=1,
         d_hidden=32, n_heads=4, out_d=10,
     )
     state = create_train_state(model, jax.random.PRNGKey(0),
