@@ -44,6 +44,9 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[1, 8, 64, 256])
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="serve each batch as one jitted lax.map over chunks "
+                        "of this size (Predictor's microbatch mode)")
     args = p.parse_args()
 
     import jax
@@ -58,10 +61,13 @@ def main():
     if args.bf16:
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
-    apply_fn = jax.jit(lambda p_, x: model.apply({"params": p_}, x))
+    from kanvit.infer import Predictor
 
     results = []
     for bs in args.batches:
+        mb = args.microbatch if args.microbatch else None
+        apply_fn = Predictor(model, params, batch_size=bs,
+                             microbatch=mb)._apply
         x = jax.random.normal(jax.random.PRNGKey(1), (bs, *chw))
         if args.bf16:
             x = x.astype(jnp.bfloat16)
@@ -91,6 +97,7 @@ def main():
             "model_type": args.model_type,
             "bf16": args.bf16,
             "batch": bs,
+            "microbatch": mb,
             "latency_p50_ms": round(lat_p50, 2),
             "throughput_images_per_sec": round(ips, 1),
             "device": str(jax.devices()[0]),
@@ -103,7 +110,8 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             existing = json.load(f)
-    key = lambda r: (r["preset"], r["model_type"], r["bf16"], r["batch"])
+    key = lambda r: (r["preset"], r["model_type"], r["bf16"], r["batch"],
+                     r.get("microbatch") or 0)
     merged = {key(r): r for r in existing}
     merged.update({key(r): r for r in results})
     with open(out_path, "w") as f:

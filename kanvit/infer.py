@@ -21,16 +21,37 @@ import numpy as np
 
 @dataclass
 class Predictor:
-    """Batched, fixed-shape, jit-compiled classifier."""
+    """Batched, fixed-shape, jit-compiled classifier.
+
+    ``microbatch``: optionally run each jitted batch as a ``lax.map`` over
+    fixed-size chunks (one dispatch, chunks serialized on-device). Forward-
+    only per-image cost RISES with batch on v5e for the large presets
+    (measured: ViT-S efficientkan bf16 per-block fwd 12.7 -> 18.9 us/img
+    from batch 64 -> 256, every component — qkv kernel, lanes attention,
+    FF matmuls — degrading together; ``benchmarks/infer_msa_probe.json``),
+    so serving large batches at the fwd-optimal chunk size (64 at ViT-S)
+    beats the flat batch. Opt-in: the small reference config scales
+    cleanly flat (160k img/s at 256) and would only lose.
+    """
 
     model: object
     params: dict
     batch_size: int = 256
+    microbatch: int | None = None
 
     def __post_init__(self):
-        self._apply = jax.jit(
-            lambda params, x: self.model.apply({"params": params}, x)
-        )
+        mb = self.microbatch
+        if mb and mb < self.batch_size and self.batch_size % mb == 0:
+            def apply_fn(params, x):
+                chunks = x.reshape(x.shape[0] // mb, mb, *x.shape[1:])
+                ys = jax.lax.map(
+                    lambda c: self.model.apply({"params": params}, c), chunks
+                )
+                return ys.reshape(-1, *ys.shape[2:])
+        else:
+            def apply_fn(params, x):
+                return self.model.apply({"params": params}, x)
+        self._apply = jax.jit(apply_fn)
 
     def logits(self, images: np.ndarray) -> np.ndarray:
         """``(N, C, H, W) -> (N, out_d)`` — tail batch zero-padded so every
@@ -67,6 +88,7 @@ def load_predictor(
     n_heads=8,
     out_d=10,
     batch_size=256,
+    microbatch=None,
 ) -> Predictor:
     from kanvit.models import create_model
     from kanvit.train.checkpoint import latest_checkpoint, restore_checkpoint
@@ -83,7 +105,7 @@ def load_predictor(
     if path is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
     state = restore_checkpoint(path, state)
-    return Predictor(model, state.params, batch_size)
+    return Predictor(model, state.params, batch_size, microbatch)
 
 
 def main(argv=None):
@@ -101,6 +123,9 @@ def main(argv=None):
     p.add_argument("--d-hidden", type=int, default=64)
     p.add_argument("--n-heads", type=int, default=8)
     p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="serve each batch as one jitted lax.map over chunks "
+                        "of this size (fwd-optimal ~64 for large presets)")
     p.add_argument("--out", default=None, help="write predictions npz here")
     args = p.parse_args(argv)
 
@@ -111,6 +136,7 @@ def main(argv=None):
         chw=tuple(x.shape[1:]), n_patches=mcfg["n_patches"],
         n_blocks=args.n_blocks, d_hidden=args.d_hidden,
         n_heads=args.n_heads, out_d=num_classes, batch_size=args.batch_size,
+        microbatch=args.microbatch,
     )
     labels, probs = pred.predict(x)
     acc, bal, f1, auc = calculate_metrics(y, labels, probs, num_classes)

@@ -152,6 +152,16 @@ def test_inference_predictor_roundtrip(tmp_path):
     assert probs.shape == (100, 10)
     assert np.allclose(probs.sum(-1), 1.0, atol=1e-6)
 
+    # Microbatched serving (one jitted lax.map over chunks) is value-equal
+    # to the flat batch — it exists because fwd-only per-image cost rises
+    # with batch at the large presets (benchmarks/infer_msa_probe.json).
+    from kanvit.infer import Predictor
+
+    pred_mb = Predictor(pred.model, pred.params, batch_size=64, microbatch=16)
+    np.testing.assert_allclose(
+        pred_mb.logits(x), pred.logits(x), rtol=2e-5, atol=2e-5
+    )
+
 
 def test_tensor_parallel_trainer_end_to_end(tmp_path):
     """TP through the full trainer (AOT-compiled donated step on a (4, 2)
