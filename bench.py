@@ -137,6 +137,9 @@ def main():
                    help="gradient rematerialization (memory for FLOPs)")
     p.add_argument("--no-scan", action="store_true",
                    help="force the per-step dispatch path")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over this many batch chunks "
+                        "(per-step path; same update, chunked activations)")
     args = p.parse_args()
 
     from kanvit.models import create_model
@@ -157,7 +160,8 @@ def main():
     stack_bytes = args.steps * args.batch_size * (
         4 * int(jnp.prod(jnp.array(chw))) + 4
     )
-    use_scan = not args.no_scan and stack_bytes <= _SCAN_STACK_BUDGET
+    use_scan = (not args.no_scan and args.grad_accum <= 1
+                and stack_bytes <= _SCAN_STACK_BUDGET)
     if use_scan:
         xs = jax.random.normal(
             jax.random.PRNGKey(1), (args.steps, args.batch_size, *chw)
@@ -174,7 +178,7 @@ def main():
         y = jax.random.randint(
             jax.random.PRNGKey(2), (args.batch_size,), 0, geom["out_d"]
         )
-        step = make_train_step(bf16=args.bf16)
+        step = make_train_step(bf16=args.bf16, grad_accum=args.grad_accum)
         step = step.lower(state, x, y).compile()
 
         def run_window(st):
@@ -250,6 +254,7 @@ def main():
         "windows": len(window_s),
         "steps_per_call": args.steps if use_scan else 1,
         "batch_size": args.batch_size,
+        "grad_accum": args.grad_accum,
         "device": str(jax.devices()[0]),
         "bf16": args.bf16,
         "flops_per_step": flops_model,

@@ -3205,6 +3205,7 @@ def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xrp, w_sg, gam2d, bet2d, aug2d)
@@ -3277,6 +3278,7 @@ def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xrp, w_sg, gp, gam2d, bet2d, aug2d)
