@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     # kanvit extensions
     p.add_argument("--dataset", type=str, default="cifar100",
                    choices=("mnist", "cifar100", "digits", "synthetic"))
+    p.add_argument("--lr-schedule", type=str, default="constant",
+                   choices=("constant", "cosine"),
+                   help="LR schedule: constant (optional --warmup-steps) or "
+                        "cosine (warmup then cosine decay to 0 over the run)")
+    p.add_argument("--warmup-steps", type=int, default=0,
+                   help="linear LR warmup steps from 0 to --learning-rate")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute policy")
@@ -96,6 +102,8 @@ def main(argv=None) -> dict:
         epochs=args.epochs,
         batch_size=args.batch_size,
         learning_rate=args.learning_rate,
+        lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps,
         model_type=args.model_type,
         n_blocks=args.n_blocks,
         d_hidden=args.d_hidden,

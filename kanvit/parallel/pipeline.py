@@ -458,7 +458,9 @@ def make_pp_eval_step(model, mesh, n_micro, bf16=False, out_shardings=None,
     return jax.jit(eval_step, **kw)
 
 
-def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3):
+def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3,
+                    lr_schedule: str = "constant", warmup_steps: int = 0,
+                    total_steps: int | None = None):
     """A TrainState whose params (and Adam moments) live in the pipeline
     layout. ``apply_fn`` stays the model's (unused by the PP steps)."""
     if model.stateful_grid:
@@ -473,5 +475,7 @@ def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3):
     # Same factory as create_train_state (sans the grid-grad chain, which
     # PP rejects above) so the PP<->canonical opt_state conversion in
     # checkpoint restore can never drift from the canonical update rule.
-    tx = make_optimizer(learning_rate)
+    # Schedule state (a count scalar) is layout-independent:
+    # _map_moment_trees passes it through untouched.
+    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps)
     return TrainState.create(apply_fn=model.apply, params=pp, tx=tx)

@@ -46,6 +46,11 @@ class TrainConfig:
     epochs: int = 20
     batch_size: int = 128
     learning_rate: float = 1e-3
+    # LR schedule (kanvit extension; reference trains at fixed LR):
+    # "constant" (optional linear warmup) or "cosine" (warmup + cosine
+    # decay to 0 over the run's total step count).
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
     model_type: str = "vanilla"
     n_blocks: int = 8
     d_hidden: int = 64
@@ -110,7 +115,13 @@ def build_pipelines(cfg: TrainConfig):
     return train_pipe, test_pipe, num_classes
 
 
-def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
+def _sched_kw(cfg: TrainConfig, total_steps: int | None) -> dict:
+    return dict(lr_schedule=cfg.lr_schedule, warmup_steps=cfg.warmup_steps,
+                total_steps=total_steps)
+
+
+def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches,
+                          total_steps: int | None = None):
     model = create_model(
         cfg.model_type,
         chw=chw,
@@ -123,7 +134,8 @@ def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches):
     )
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, *chw), jnp.float32)
-    state = create_train_state(model, rng, sample, cfg.learning_rate)
+    state = create_train_state(model, rng, sample, cfg.learning_rate,
+                               **_sched_kw(cfg, total_steps))
     return model, state
 
 
@@ -192,8 +204,12 @@ def _run(cfg: TrainConfig) -> dict:
     train_pipe, test_pipe, num_classes = build_pipelines(cfg)
     mcfg = _dataset_model_config(cfg.dataset)
     chw = tuple(train_pipe.images.shape[1:])
+    steps_per_epoch = len(train_pipe)
+    if cfg.limit_train_batches:
+        steps_per_epoch = min(steps_per_epoch, cfg.limit_train_batches)
+    total_steps = steps_per_epoch * cfg.epochs
     model, state = build_model_and_state(
-        cfg, num_classes, chw, mcfg["n_patches"]
+        cfg, num_classes, chw, mcfg["n_patches"], total_steps=total_steps
     )
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     log.info("Model %s: %d parameters", cfg.model_type, n_params)
@@ -240,6 +256,7 @@ def _run(cfg: TrainConfig) -> dict:
         state = create_pp_state(
             model, jax.random.PRNGKey(cfg.seed),
             jnp.zeros((1, *chw), jnp.float32), cfg.learning_rate,
+            **_sched_kw(cfg, total_steps),
         )
         state = shard_state(
             state, mesh, p_shard=pp_param_shardings(state.params, mesh)
@@ -276,6 +293,7 @@ def _run(cfg: TrainConfig) -> dict:
                 tmpl = create_train_state(
                     model, jax.random.PRNGKey(cfg.seed),
                     jnp.zeros((1, *chw), jnp.float32), cfg.learning_rate,
+                    **_sched_kw(cfg, total_steps),
                 )
                 state = canonical_state_to_pp(
                     restore_checkpoint(path, tmpl), model.n_blocks

@@ -18,13 +18,45 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def make_optimizer(learning_rate: float = 1e-3) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_rate: float = 1e-3,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int | None = None,
+) -> optax.GradientTransformation:
     """The canonical optimizer (reference ``torch.optim.Adam(lr)``,
     ``train.py:22-23``). Single factory shared with the pipeline layout
     (``parallel.pipeline.create_pp_state``) so the two cannot drift — the
     PP<->canonical checkpoint conversion maps moment trees leaf-for-leaf
-    and silently corrupts optimizer state if the update rules differ."""
-    return optax.adam(learning_rate)
+    and silently corrupts optimizer state if the update rules differ.
+
+    Schedules (a kanvit extension; the reference trains at a fixed LR):
+    ``constant`` with optional linear ``warmup_steps``, or ``cosine``
+    (linear warmup then cosine decay to 0 over ``total_steps``). Scheduled
+    runs add one ``ScaleByScheduleState`` count scalar to the opt state —
+    params-shape independent, so the PP<->canonical moment-tree conversion
+    passes it through untouched."""
+    if lr_schedule == "constant":
+        if warmup_steps <= 0:
+            return optax.adam(learning_rate)
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+             optax.constant_schedule(learning_rate)],
+            [warmup_steps],
+        )
+    elif lr_schedule == "cosine":
+        if not total_steps:
+            raise ValueError("--lr-schedule cosine needs a known total step "
+                             "count (epochs x steps/epoch)")
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=learning_rate,
+            warmup_steps=max(0, warmup_steps),
+            decay_steps=total_steps, end_value=0.0,
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {lr_schedule!r} "
+                         "(constant|cosine)")
+    return optax.adam(lr)
 
 
 def create_train_state(
@@ -32,9 +64,12 @@ def create_train_state(
     rng: jax.Array,
     sample_input,
     learning_rate: float = 1e-3,
+    lr_schedule: str = "constant",
+    warmup_steps: int = 0,
+    total_steps: int | None = None,
 ) -> TrainState:
     params = model.init(rng, sample_input)["params"]
-    tx = make_optimizer(learning_rate)
+    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps)
     # Stateful B-spline grids (models built with stateful_grid=True) live in
     # the param tree so checkpointing/sharding see them, but they are knot
     # positions, not weights: zero their gradients ahead of Adam — only the

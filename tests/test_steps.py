@@ -116,3 +116,61 @@ def test_grad_accum_matches_full_batch_step():
             ),
             st_a.params, st0.params,
         )
+
+
+def test_lr_schedule_warmup_and_cosine():
+    """Cosine schedule with warmup: step 0 runs at lr=0 (params must not
+    move), later steps move them; the schedule count rides the opt state
+    (layout-independent — PP's moment-tree conversion passes it through)."""
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=1,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28)),
+        lr_schedule="cosine", warmup_steps=3, total_steps=10,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    step = make_train_step(donate=False)
+
+    p0 = jax.tree.map(lambda a: np.asarray(a), state.params)
+    state1, _, _ = step(state, x, y)
+    # warmup starts at lr = 0: the first update is exactly zero
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(state1.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    state2, _, _ = step(state1, x, y)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state1.params),
+                        jax.tree.leaves(state2.params))
+    )
+    assert moved, "params did not move once the warmup LR became nonzero"
+
+
+def test_lr_schedule_pp_roundtrip_preserves_count():
+    """PP <-> canonical opt-state conversion must pass the schedule count
+    through untouched (it is params-shape independent)."""
+    from kanvit.parallel.pipeline import (
+        canonical_state_to_pp,
+        pp_state_to_canonical,
+    )
+
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28)),
+        lr_schedule="cosine", warmup_steps=2, total_steps=10,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    step = make_train_step(donate=False)
+    state, _, _ = step(state, x, y)
+    rt = pp_state_to_canonical(
+        canonical_state_to_pp(state, model.n_blocks), model.n_blocks
+    )
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(rt.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
