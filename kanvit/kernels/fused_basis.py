@@ -82,6 +82,15 @@ _DW_VMEM_BUDGET = 96 * 1024 * 1024
 # forced row blocks to find where the sg launches sit vs their roofline.
 _SG_VMEM_LIMIT = None
 
+# RBF+LN (fast) sg launch geometry — round-5 measured finding
+# (tools/tpu_probe_fast_geometry.py -> benchmarks/fast_geometry_probe.json):
+# 4x row blocks under a raised 64M scoped-VMEM limit cut the ViT-S fast
+# MSA fwd+bwd 14.45 -> 13.82 ms/block (fewer grid steps; the 12M-model
+# pick was grid-step-overhead bound). x8/100M regresses (15.06).
+# KANVIT_FAST_GEOM=0 restores the conservative pick for A/Bs.
+_RBF_SG_BN_SCALE = 4 if os.environ.get("KANVIT_FAST_GEOM", "1") == "1" else 1
+_RBF_SG_VMEM_LIMIT = 64 * 1024 * 1024 if _RBF_SG_BN_SCALE > 1 else None
+
 
 def _pick_row_block(nin: int, out: int, ng: int, n_temps: int,
                     w_bytes: int = 4, with_dw: bool = True,
@@ -3159,7 +3168,7 @@ def _rbf_ln_sg_bn(seg, ng1, out, x2d, w_sg, qslots, with_dw):
     # (xr/ln/xhat/gxh/sig/s/dsilu/u/b/coef/dln + per-slot dlns and the
     # scheduler's double buffers) costs ~20 (bn, q*seg) tiles — the first
     # model (6) compiled to 17.2M scoped vmem against the 16M limit.
-    return _pick_row_block(
+    return _RBF_SG_BN_SCALE * _pick_row_block(
         seg, out, ng1, n_temps=(20 if with_dw else 8),
         w_bytes=w_sg.dtype.itemsize, with_dw=with_dw, scr_bytes=db,
         stream_bytes=stream, per_g=False, pack=qslots, slot_w=True,
@@ -3205,7 +3214,7 @@ def _rbf_ln_sg_op(xr2d, gam2d, bet2d, w_sg, grid2d, num_grids, denominator,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_SG_VMEM_LIMIT,
+            vmem_limit_bytes=_RBF_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xrp, w_sg, gam2d, bet2d, aug2d)
@@ -3278,7 +3287,7 @@ def _rbf_ln_sg_op_bwd(num_grids, denominator, seg, qslots, res, g):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_SG_VMEM_LIMIT,
+            vmem_limit_bytes=_RBF_SG_VMEM_LIMIT,
         ),
         interpret=dispatch.interpret_mode(),
     )(xrp, w_sg, gp, gam2d, bet2d, aug2d)

@@ -72,21 +72,23 @@ def main():
     p = jax.tree.map(lambda a: a.astype(DT),
                      msa.init(jax.random.PRNGKey(1), x)["params"])
 
-    orig_bn = FB._rbf_ln_sg_bn
-    auto_fwd = orig_bn(64, 9, 64, x.reshape(-1, D), jnp.zeros((1, 1), DT),
-                       2, False)
-    auto_bwd = orig_bn(64, 9, 64, x.reshape(-1, D), jnp.zeros((1, 1), DT),
-                       2, True)
-    print(f"auto bn: fwd {auto_fwd} bwd {auto_bwd}", flush=True)
+    # The winning geometry (x4, 64M) shipped as the default
+    # (_RBF_SG_BN_SCALE / _RBF_SG_VMEM_LIMIT in fused_basis.py); this
+    # probe drives those knobs directly, so case scales here are absolute.
+    prod_scale, prod_lim = FB._RBF_SG_BN_SCALE, FB._RBF_SG_VMEM_LIMIT
+    FB._RBF_SG_BN_SCALE, FB._RBF_SG_VMEM_LIMIT = 1, None
+    auto_fwd = FB._rbf_ln_sg_bn(64, 9, 64, x.reshape(-1, D),
+                                jnp.zeros((1, 1), DT), 2, False)
+    auto_bwd = FB._rbf_ln_sg_bn(64, 9, 64, x.reshape(-1, D),
+                                jnp.zeros((1, 1), DT), 2, True)
+    print(f"base bn: fwd {auto_fwd} bwd {auto_bwd} "
+          f"(shipped scale {prod_scale}, limit {prod_lim})", flush=True)
 
     results = []
 
     def case(tag, scale, lim_mb):
-        if scale != 1:
-            FB._rbf_ln_sg_bn = (
-                lambda *a, **k: ((orig_bn(*a, **k) * scale) // 8) * 8
-            )
-        FB._SG_VMEM_LIMIT = lim_mb * 1024 * 1024 if lim_mb else None
+        FB._RBF_SG_BN_SCALE = scale
+        FB._RBF_SG_VMEM_LIMIT = lim_mb * 1024 * 1024 if lim_mb else None
         try:
             ms = chain_grad(msa, p, x)
             row = {"tag": tag, "bn_scale": scale, "vmem_limit_mb": lim_mb,
@@ -95,8 +97,7 @@ def main():
             row = {"tag": tag, "bn_scale": scale, "vmem_limit_mb": lim_mb,
                    "error": str(e)[:160]}
         finally:
-            FB._rbf_ln_sg_bn = orig_bn
-            FB._SG_VMEM_LIMIT = None
+            FB._RBF_SG_BN_SCALE, FB._RBF_SG_VMEM_LIMIT = 1, None
         print(json.dumps(row), flush=True)
         results.append(row)
 
@@ -105,6 +106,7 @@ def main():
     case("bn x4, 64M", 4, 64)
     case("bn x8, 100M", 8, 100)
     case("baseline again", 1, None)  # drift control
+    FB._RBF_SG_BN_SCALE, FB._RBF_SG_VMEM_LIMIT = prod_scale, prod_lim
 
     path = os.path.join(REPO, "benchmarks", "fast_geometry_probe.json")
     with open(path, "w") as f:
