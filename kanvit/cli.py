@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "cosine (warmup then cosine decay to 0 over the run)")
     p.add_argument("--warmup-steps", type=int, default=0,
                    help="linear LR warmup steps from 0 to --learning-rate")
+    p.add_argument("--weight-decay", type=float, default=0.0,
+                   help="AdamW decoupled weight decay (0 = plain Adam, "
+                        "the reference optimizer)")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="clip gradients by global norm before Adam (0 = off)")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute policy")
@@ -104,6 +109,8 @@ def main(argv=None) -> dict:
         learning_rate=args.learning_rate,
         lr_schedule=args.lr_schedule,
         warmup_steps=args.warmup_steps,
+        weight_decay=args.weight_decay,
+        clip_grad_norm=args.clip_grad_norm,
         model_type=args.model_type,
         n_blocks=args.n_blocks,
         d_hidden=args.d_hidden,

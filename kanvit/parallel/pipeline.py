@@ -460,7 +460,8 @@ def make_pp_eval_step(model, mesh, n_micro, bf16=False, out_shardings=None,
 
 def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3,
                     lr_schedule: str = "constant", warmup_steps: int = 0,
-                    total_steps: int | None = None):
+                    total_steps: int | None = None,
+                    weight_decay: float = 0.0, clip_grad_norm: float = 0.0):
     """A TrainState whose params (and Adam moments) live in the pipeline
     layout. ``apply_fn`` stays the model's (unused by the PP steps)."""
     if model.stateful_grid:
@@ -477,5 +478,6 @@ def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3,
     # checkpoint restore can never drift from the canonical update rule.
     # Schedule state (a count scalar) is layout-independent:
     # _map_moment_trees passes it through untouched.
-    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps)
+    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps,
+                        weight_decay, clip_grad_norm)
     return TrainState.create(apply_fn=model.apply, params=pp, tx=tx)

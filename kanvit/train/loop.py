@@ -51,6 +51,11 @@ class TrainConfig:
     # decay to 0 over the run's total step count).
     lr_schedule: str = "constant"
     warmup_steps: int = 0
+    # AdamW decoupled weight decay (0 = plain Adam, the reference rule) and
+    # global-norm gradient clipping (0 = off) — kanvit extensions riding the
+    # shared make_optimizer factory.
+    weight_decay: float = 0.0
+    clip_grad_norm: float = 0.0
     model_type: str = "vanilla"
     n_blocks: int = 8
     d_hidden: int = 64
@@ -116,8 +121,12 @@ def build_pipelines(cfg: TrainConfig):
 
 
 def _sched_kw(cfg: TrainConfig, total_steps: int | None) -> dict:
+    """Optimizer kwargs forwarded identically to the canonical and PP state
+    constructors (both wrap ``make_optimizer``) so the two layouts cannot
+    drift."""
     return dict(lr_schedule=cfg.lr_schedule, warmup_steps=cfg.warmup_steps,
-                total_steps=total_steps)
+                total_steps=total_steps, weight_decay=cfg.weight_decay,
+                clip_grad_norm=cfg.clip_grad_norm)
 
 
 def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches,

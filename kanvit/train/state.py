@@ -23,6 +23,8 @@ def make_optimizer(
     lr_schedule: str = "constant",
     warmup_steps: int = 0,
     total_steps: int | None = None,
+    weight_decay: float = 0.0,
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
     """The canonical optimizer (reference ``torch.optim.Adam(lr)``,
     ``train.py:22-23``). Single factory shared with the pipeline layout
@@ -35,15 +37,22 @@ def make_optimizer(
     (linear warmup then cosine decay to 0 over ``total_steps``). Scheduled
     runs add one ``ScaleByScheduleState`` count scalar to the opt state —
     params-shape independent, so the PP<->canonical moment-tree conversion
-    passes it through untouched."""
+    passes it through untouched.
+
+    ``weight_decay`` > 0 switches Adam to AdamW (decoupled decay, applied
+    after the Adam normalization as in torch.optim.AdamW); ``clip_grad_norm``
+    > 0 clips gradients by GLOBAL norm before the Adam moments see them.
+    Both are stateless transforms (``EmptyState``), so the PP<->canonical
+    opt_state conversion passes their slots through untouched."""
     if lr_schedule == "constant":
         if warmup_steps <= 0:
-            return optax.adam(learning_rate)
-        lr = optax.join_schedules(
-            [optax.linear_schedule(0.0, learning_rate, warmup_steps),
-             optax.constant_schedule(learning_rate)],
-            [warmup_steps],
-        )
+            lr = learning_rate
+        else:
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, learning_rate, warmup_steps),
+                 optax.constant_schedule(learning_rate)],
+                [warmup_steps],
+            )
     elif lr_schedule == "cosine":
         if not total_steps:
             raise ValueError("--lr-schedule cosine needs a known total step "
@@ -56,7 +65,11 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown lr_schedule {lr_schedule!r} "
                          "(constant|cosine)")
-    return optax.adam(lr)
+    base = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay > 0
+            else optax.adam(lr))
+    if clip_grad_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(clip_grad_norm), base)
+    return base
 
 
 def create_train_state(
@@ -67,9 +80,12 @@ def create_train_state(
     lr_schedule: str = "constant",
     warmup_steps: int = 0,
     total_steps: int | None = None,
+    weight_decay: float = 0.0,
+    clip_grad_norm: float = 0.0,
 ) -> TrainState:
     params = model.init(rng, sample_input)["params"]
-    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps)
+    tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps,
+                        weight_decay, clip_grad_norm)
     # Stateful B-spline grids (models built with stateful_grid=True) live in
     # the param tree so checkpointing/sharding see them, but they are knot
     # positions, not weights: zero their gradients ahead of Adam — only the

@@ -21,11 +21,13 @@ def test_extension_flags_parse():
     args = build_parser().parse_args(
         ["--dataset", "mnist", "--bf16", "--ckpt-dir", "c", "--resume",
          "--n-model-shards", "2", "--seed", "7", "--h2d-lookahead", "3",
-         "--device", "cpu"]
+         "--device", "cpu", "--weight-decay", "0.05",
+         "--clip-grad-norm", "1.0"]
     )
     assert args.dataset == "mnist" and args.bf16 and args.resume
     assert args.n_model_shards == 2 and args.seed == 7
     assert args.h2d_lookahead == 3 and args.device == "cpu"
+    assert args.weight_decay == 0.05 and args.clip_grad_norm == 1.0
 
 
 def test_all_variants_accepted():

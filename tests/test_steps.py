@@ -148,6 +148,98 @@ def test_lr_schedule_warmup_and_cosine():
     assert moved, "params did not move once the warmup LR became nonzero"
 
 
+def test_clip_grad_norm_semantics():
+    """make_optimizer(clip_grad_norm=c) must clip by GLOBAL norm BEFORE the
+    Adam moments: its first update on gradients g with ||g|| > c equals plain
+    Adam's first update on g * (c / ||g||)."""
+    import optax
+
+    from kanvit.train.state import make_optimizer
+
+    g = {
+        "w": jnp.array([[3.0, -4.0], [1.0, 2.0]]),
+        "b": jnp.array([0.5, -0.25]),
+    }
+    p = jax.tree.map(jnp.ones_like, g)
+    c = 1.0
+    norm = float(optax.global_norm(g))
+    assert norm > c
+
+    tx = make_optimizer(1e-3, clip_grad_norm=c)
+    u1, _ = tx.update(g, tx.init(p), p)
+
+    ref = optax.adam(1e-3)
+    g_scaled = jax.tree.map(lambda a: a * (c / norm), g)
+    u2, _ = ref.update(g_scaled, ref.init(p), p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        u1, u2,
+    )
+    # Below the threshold nothing is scaled: same update as plain Adam.
+    g_small = jax.tree.map(lambda a: a * (0.5 * c / norm), g)
+    u3, _ = tx.update(g_small, tx.init(p), p)
+    u4, _ = ref.update(g_small, ref.init(p), p)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        u3, u4,
+    )
+
+
+def test_weight_decay_is_decoupled():
+    """AdamW semantics (torch.optim.AdamW): with ZERO gradients the Adam
+    term vanishes and one step shrinks params by exactly lr * wd * p —
+    decay decoupled from the gradient, not L2 added to it."""
+    from kanvit.train.state import make_optimizer
+
+    lr, wd = 1e-2, 0.1
+    p = {"w": jnp.array([2.0, -3.0]), "b": jnp.array([0.5])}
+    g = jax.tree.map(jnp.zeros_like, p)
+    tx = make_optimizer(lr, weight_decay=wd)
+    u, _ = tx.update(g, tx.init(p), p)
+    jax.tree.map(
+        lambda ui, pi: np.testing.assert_allclose(
+            np.asarray(ui), -lr * wd * np.asarray(pi), rtol=1e-6, atol=1e-9
+        ),
+        u, p,
+    )
+
+
+def test_optimizer_extras_pp_roundtrip():
+    """clip + weight decay are stateless transforms: the PP <-> canonical
+    opt-state conversion must pass their EmptyState slots through and keep
+    the whole chained state equal after a round trip."""
+    from kanvit.parallel.pipeline import (
+        canonical_state_to_pp,
+        pp_state_to_canonical,
+    )
+
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), jnp.zeros((1, 1, 28, 28)),
+        lr_schedule="cosine", warmup_steps=2, total_steps=10,
+        weight_decay=0.01, clip_grad_norm=1.0,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    state, _, _ = make_train_step(donate=False)(state, x, y)
+    rt = pp_state_to_canonical(
+        canonical_state_to_pp(state, model.n_blocks), model.n_blocks
+    )
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(rt.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(rt.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_lr_schedule_pp_roundtrip_preserves_count():
     """PP <-> canonical opt-state conversion must pass the schedule count
     through untouched (it is params-shape independent)."""
