@@ -91,21 +91,22 @@ def load_predictor(
     microbatch=None,
 ) -> Predictor:
     from kanvit.models import create_model
-    from kanvit.train.checkpoint import latest_checkpoint, restore_checkpoint
-    from kanvit.train.state import create_train_state
+    from kanvit.train.checkpoint import latest_checkpoint, restore_params
 
     model = create_model(
         model_type, chw=chw, n_patches=n_patches, n_blocks=n_blocks,
         d_hidden=d_hidden, n_heads=n_heads, out_d=out_d,
     )
-    state = create_train_state(
-        model, jax.random.PRNGKey(0), jnp.zeros((1, *chw), jnp.float32)
-    )
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, *chw), jnp.float32))["params"]
     path = latest_checkpoint(ckpt_dir)
     if path is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    state = restore_checkpoint(path, state)
-    return Predictor(model, state.params, batch_size, microbatch)
+    # Params-only restore: the checkpoint's opt_state may be any
+    # make_optimizer chain (schedules/clip/decay) — inference must load
+    # regardless of how the model was trained.
+    params = restore_params(path, template)
+    return Predictor(model, params, batch_size, microbatch)
 
 
 def main(argv=None):

@@ -39,3 +39,15 @@ def restore_checkpoint(path: str, template_state: Any) -> Any:
     with ``create_train_state`` on the same model config)."""
     with open(path, "rb") as f:
         return serialization.from_bytes(template_state, f.read())
+
+
+def restore_params(path: str, template_params: Any) -> Any:
+    """Restore ONLY the param tree from a full-state checkpoint — for
+    consumers that don't know (or care) how the optimizer was configured
+    (e.g. inference, torch export): the opt_state structure in the file may
+    be any make_optimizer chain."""
+    from flax.serialization import from_state_dict, msgpack_restore
+
+    with open(path, "rb") as f:
+        raw = msgpack_restore(f.read())
+    return from_state_dict(template_params, raw["params"])

@@ -214,3 +214,24 @@ def test_update_grid_through_trainer(tmp_path):
     # the model still evaluates finitely with the refit grids
     logits = model.apply({"params": new_state.params}, x)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_params_only_restore_across_optimizer_configs(tmp_path):
+    """restore_params must load a checkpoint regardless of how the saving
+    run's optimizer was configured: inference and torch-export build a
+    params template only, while the file's opt_state may be any
+    make_optimizer chain (clip/decay/schedule change its pytree structure)."""
+    from kanvit.train.checkpoint import restore_params, save_checkpoint
+    from kanvit.train.loop import build_model_and_state
+
+    cfg = _cfg(tmp_path, weight_decay=0.01, clip_grad_norm=1.0,
+               lr_schedule="cosine", warmup_steps=1)
+    model, state = build_model_and_state(cfg, 10, (1, 28, 28), 7,
+                                         total_steps=10)
+    path = save_checkpoint(str(tmp_path / "ck"), state, 3)
+
+    template = model.init(jax.random.PRNGKey(1),
+                          jnp.zeros((1, 1, 28, 28)))["params"]
+    params = restore_params(path, template)
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
