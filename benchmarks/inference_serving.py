@@ -34,6 +34,8 @@ PRESETS = {
                       d_hidden=64, n_heads=2, out_d=10),
     "vit-s": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
                   d_hidden=384, n_heads=6, out_d=1000),
+    "vit-b": dict(chw=(3, 224, 224), n_patches=14, n_blocks=12,
+                  d_hidden=768, n_heads=12, out_d=1000),
 }
 
 
@@ -47,6 +49,8 @@ def main():
     p.add_argument("--microbatch", type=int, default=None,
                    help="serve each batch as one jitted lax.map over chunks "
                         "of this size (Predictor's microbatch mode)")
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="Predictor int8 W8A8 serving mode")
     args = p.parse_args()
 
     import jax
@@ -67,7 +71,7 @@ def main():
     for bs in args.batches:
         mb = args.microbatch if args.microbatch else None
         apply_fn = Predictor(model, params, batch_size=bs,
-                             microbatch=mb)._apply
+                             microbatch=mb, quant=args.quant)._apply
         x = jax.random.normal(jax.random.PRNGKey(1), (bs, *chw))
         if args.bf16:
             x = x.astype(jnp.bfloat16)
@@ -96,6 +100,7 @@ def main():
             "preset": args.preset,
             "model_type": args.model_type,
             "bf16": args.bf16,
+            "quant": args.quant,
             "batch": bs,
             "microbatch": mb,
             "latency_p50_ms": round(lat_p50, 2),
@@ -111,7 +116,7 @@ def main():
         with open(out_path) as f:
             existing = json.load(f)
     key = lambda r: (r["preset"], r["model_type"], r["bf16"], r["batch"],
-                     r.get("microbatch") or 0)
+                     r.get("microbatch") or 0, r.get("quant") or "")
     merged = {key(r): r for r in existing}
     merged.update({key(r): r for r in results})
     with open(out_path, "w") as f:

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the reference optimizer)")
     p.add_argument("--clip-grad-norm", type=float, default=0.0,
                    help="clip gradients by global norm before Adam (0 = off)")
+    p.add_argument("--ema-decay", type=float, default=0.0,
+                   help="exponential moving average of params (e.g. 0.999); "
+                        "the test pass evaluates the EMA weights (0 = off)")
     p.add_argument("--data-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute policy")
@@ -111,6 +114,7 @@ def main(argv=None) -> dict:
         warmup_steps=args.warmup_steps,
         weight_decay=args.weight_decay,
         clip_grad_norm=args.clip_grad_norm,
+        ema_decay=args.ema_decay,
         model_type=args.model_type,
         n_blocks=args.n_blocks,
         d_hidden=args.d_hidden,

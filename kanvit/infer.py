@@ -38,19 +38,32 @@ class Predictor:
     params: dict
     batch_size: int = 256
     microbatch: int | None = None
+    # "int8": trace the forward under kanvit.ops.quant.int8_serving() so
+    # every TorchLinear dot (FF pairs, vanilla/flash projections, the head)
+    # runs W8A8 on the int8 MXU (394.7 TOPs vs 197.4 bf16 TFLOPs on v5e;
+    # measured 1.26-1.88x at ViT-B shapes, benchmarks/int8_matmul_probe.json).
+    quant: str | None = None
 
     def __post_init__(self):
+        from kanvit.ops import quant as Q
+
+        if self.quant not in (None, "int8"):
+            raise ValueError(f"unknown quant mode {self.quant!r} (int8)")
         mb = self.microbatch
+
+        def forward(params, x):
+            if self.quant == "int8":
+                with Q.int8_serving():  # trace-time switch
+                    return self.model.apply({"params": params}, x)
+            return self.model.apply({"params": params}, x)
+
         if mb and mb < self.batch_size and self.batch_size % mb == 0:
             def apply_fn(params, x):
                 chunks = x.reshape(x.shape[0] // mb, mb, *x.shape[1:])
-                ys = jax.lax.map(
-                    lambda c: self.model.apply({"params": params}, c), chunks
-                )
+                ys = jax.lax.map(lambda c: forward(params, c), chunks)
                 return ys.reshape(-1, *ys.shape[2:])
         else:
-            def apply_fn(params, x):
-                return self.model.apply({"params": params}, x)
+            apply_fn = forward
         self._apply = jax.jit(apply_fn)
 
     def logits(self, images: np.ndarray) -> np.ndarray:
@@ -89,6 +102,7 @@ def load_predictor(
     out_d=10,
     batch_size=256,
     microbatch=None,
+    quant=None,
 ) -> Predictor:
     from kanvit.models import create_model
     from kanvit.train.checkpoint import latest_checkpoint, restore_params
@@ -106,7 +120,7 @@ def load_predictor(
     # make_optimizer chain (schedules/clip/decay) — inference must load
     # regardless of how the model was trained.
     params = restore_params(path, template)
-    return Predictor(model, params, batch_size, microbatch)
+    return Predictor(model, params, batch_size, microbatch, quant)
 
 
 def main(argv=None):
@@ -127,6 +141,9 @@ def main(argv=None):
     p.add_argument("--microbatch", type=int, default=None,
                    help="serve each batch as one jitted lax.map over chunks "
                         "of this size (fwd-optimal ~64 for large presets)")
+    p.add_argument("--quant", default=None, choices=("int8",),
+                   help="W8A8 int8 serving for the Linear compute path "
+                        "(dynamic activation scales; v5e int8 MXU)")
     p.add_argument("--out", default=None, help="write predictions npz here")
     args = p.parse_args(argv)
 
@@ -137,7 +154,7 @@ def main(argv=None):
         chw=tuple(x.shape[1:]), n_patches=mcfg["n_patches"],
         n_blocks=args.n_blocks, d_hidden=args.d_hidden,
         n_heads=args.n_heads, out_d=num_classes, batch_size=args.batch_size,
-        microbatch=args.microbatch,
+        microbatch=args.microbatch, quant=args.quant,
     )
     labels, probs = pred.predict(x)
     acc, bal, f1, auc = calculate_metrics(y, labels, probs, num_classes)

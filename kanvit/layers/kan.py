@@ -40,7 +40,14 @@ class TorchLinear(nn.Module):
             tinit.linear_default_weight(),
             (self.out_features, self.in_features),
         )
-        y = x @ w.T
+        # int8 serving mode (kanvit.ops.quant): forward-only programs traced
+        # under int8_serving() run this dot W8A8 on the int8 MXU path.
+        from kanvit.ops import quant
+
+        if quant.int8_enabled() and not self.is_initializing():
+            y = quant.qdot(x, w)
+        else:
+            y = x @ w.T
         if self.use_bias:
             b = self.param(
                 "bias", tinit.linear_default_bias(self.in_features), (self.out_features,)

@@ -111,6 +111,8 @@ def shard_state(state, mesh: Mesh, rules=TP_RULES, p_shard=None):
         # Adam mu/nu mirror the param tree structure.
         return jax.tree.map(lambda s, x: jax.device_put(x, s), p_shard, tree)
 
+    from kanvit.train.state import EmaState
+
     def place_opt(node):
         if isinstance(node, optax.ScaleByAdamState):
             return node._replace(
@@ -118,12 +120,17 @@ def shard_state(state, mesh: Mesh, rules=TP_RULES, p_shard=None):
                 mu=like_params(node.mu),
                 nu=like_params(node.nu),
             )
+        if isinstance(node, EmaState):
+            # The EMA shadow mirrors the param tree: same shardings.
+            return EmaState(ema=like_params(node.ema))
         return jax.tree.map(lambda x: jax.device_put(x, replicated), node)
 
     new_opt = jax.tree.map(
         place_opt,
         state.opt_state,
-        is_leaf=lambda x: isinstance(x, (optax.ScaleByAdamState, optax.EmptyState)),
+        is_leaf=lambda x: isinstance(
+            x, (optax.ScaleByAdamState, optax.EmptyState, EmaState)
+        ),
     )
     return state.replace(
         params=like_params(state.params),

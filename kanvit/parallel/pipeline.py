@@ -81,14 +81,17 @@ def merge_params(pp_params, n_blocks: int):
 
 
 def _map_moment_trees(conv, opt_state):
-    """Apply ``conv`` to every params-shaped tree inside an optax state
-    (the Adam ``mu``/``nu`` moments). PP rejects stateful grids, so the
-    chain is plain ``optax.adam`` — ScaleByAdamState is the only stateful
-    element to rewrite."""
+    """Apply ``conv`` to every params-shaped tree inside an optax state:
+    the Adam ``mu``/``nu`` moments and the EMA shadow params
+    (``train.state.EmaState``). Everything else (schedule counts, stateless
+    EmptyStates) is layout-independent and passes through untouched."""
+    from kanvit.train.state import EmaState
 
     def rec(o):
         if isinstance(o, optax.ScaleByAdamState):
             return o._replace(mu=conv(o.mu), nu=conv(o.nu))
+        if isinstance(o, EmaState):
+            return EmaState(ema=conv(o.ema))
         if isinstance(o, tuple):
             vals = [rec(i) for i in o]
             return type(o)(*vals) if hasattr(o, "_fields") else tuple(vals)
@@ -461,7 +464,8 @@ def make_pp_eval_step(model, mesh, n_micro, bf16=False, out_shardings=None,
 def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3,
                     lr_schedule: str = "constant", warmup_steps: int = 0,
                     total_steps: int | None = None,
-                    weight_decay: float = 0.0, clip_grad_norm: float = 0.0):
+                    weight_decay: float = 0.0, clip_grad_norm: float = 0.0,
+                    ema_decay: float = 0.0):
     """A TrainState whose params (and Adam moments) live in the pipeline
     layout. ``apply_fn`` stays the model's (unused by the PP steps)."""
     if model.stateful_grid:
@@ -479,5 +483,5 @@ def create_pp_state(model, rng, sample_input, learning_rate: float = 1e-3,
     # Schedule state (a count scalar) is layout-independent:
     # _map_moment_trees passes it through untouched.
     tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps,
-                        weight_decay, clip_grad_norm)
+                        weight_decay, clip_grad_norm, ema_decay)
     return TrainState.create(apply_fn=model.apply, params=pp, tx=tx)

@@ -56,6 +56,9 @@ class TrainConfig:
     # shared make_optimizer factory.
     weight_decay: float = 0.0
     clip_grad_norm: float = 0.0
+    # EMA of post-step params (0 = off): shadow tree rides the opt state
+    # (train.state.EmaState); the test pass evaluates the EMA weights.
+    ema_decay: float = 0.0
     model_type: str = "vanilla"
     n_blocks: int = 8
     d_hidden: int = 64
@@ -126,7 +129,7 @@ def _sched_kw(cfg: TrainConfig, total_steps: int | None) -> dict:
     drift."""
     return dict(lr_schedule=cfg.lr_schedule, warmup_steps=cfg.warmup_steps,
                 total_steps=total_steps, weight_decay=cfg.weight_decay,
-                clip_grad_norm=cfg.clip_grad_norm)
+                clip_grad_norm=cfg.clip_grad_norm, ema_decay=cfg.ema_decay)
 
 
 def build_model_and_state(cfg: TrainConfig, num_classes: int, chw, n_patches,
@@ -188,6 +191,12 @@ def _validate_config(cfg: TrainConfig) -> None:
             "--n-microbatches requires --n-pipe-stages > 1 (no pipeline, "
             "no microbatching; use --grad-accum-steps to shrink activation "
             "memory without a pipeline)"
+        )
+    if cfg.ema_decay > 0 and cfg.update_grid_every > 0:
+        raise ValueError(
+            "--ema-decay with --update-grid-every: the grid refit rewrites "
+            "params outside the optimizer, so the EMA shadow would keep "
+            "STALE knot grids and evaluate mismatched spline coefficients"
         )
     if cfg.n_pipe_stages > 1 and cfg.n_model_shards > 1:
         from kanvit.parallel.pipeline import pp_tp_reason
@@ -469,7 +478,17 @@ def _run(cfg: TrainConfig) -> dict:
     summary["train_time_sec"] = time.perf_counter() - train_t0
     summary["total_train_images"] = total_images
 
-    # Test pass (reference train.py:58-84)
+    # Test pass (reference train.py:58-84). With --ema-decay the test pass
+    # evaluates the EMA shadow params (torch AveragedModel-style): same
+    # state structure, so the AOT-compiled eval program is reused as-is.
+    eval_state = state
+    if cfg.ema_decay > 0:
+        from kanvit.train.state import ema_params
+
+        ep = ema_params(state)
+        if ep is not None:
+            eval_state = state.replace(params=ep)
+            log.info("Evaluating with EMA params (decay %.4g)", cfg.ema_decay)
     if cfg.profile_dir:
         jax.profiler.start_trace(cfg.profile_dir)
     def _pad_tail(batch):
@@ -501,7 +520,7 @@ def _run(cfg: TrainConfig) -> dict:
     ):
         if cfg.limit_eval_batches and bi >= cfg.limit_eval_batches:
             break
-        loss_vec, logits = eval_step(state, x, y_in)
+        loss_vec, logits = eval_step(eval_state, x, y_in)
         losses.append(loss_vec[:n_valid])
         logit_buf.append(logits[:n_valid])
         label_buf.append(y)  # host array from the pipeline

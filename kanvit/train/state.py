@@ -7,7 +7,7 @@ mirrored here with ``optax.adam`` (same update rule and default betas/eps).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
 import optax
@@ -18,6 +18,57 @@ class TrainState(train_state.TrainState):
     pass
 
 
+class EmaState(NamedTuple):
+    """Shadow EMA of the params, carried INSIDE the optax state so
+    checkpointing, sharding (``parallel.mesh.shard_state``) and the
+    PP<->canonical conversion (``parallel.pipeline._map_moment_trees``)
+    all see it as just another params-shaped optimizer tree."""
+
+    ema: Any
+
+
+def _ema_transform(decay: float) -> optax.GradientTransformation:
+    """Appended LAST in the optimizer chain, so it sees the FINAL updates:
+    it passes them through untouched and refreshes
+    ``ema = decay * ema + (1 - decay) * (params + updates)`` — the
+    post-step parameters, i.e. torch.optim.swa_utils.AveragedModel
+    semantics applied on-device with zero extra dispatches."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        # A REAL copy, not an alias: the train step donates the whole
+        # state, and donating the same underlying buffer twice (params +
+        # an aliased ema) is a runtime error.
+        return EmaState(ema=jax.tree.map(jnp.copy, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema transform needs params")
+        new_ema = jax.tree.map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema, params, updates,
+        )
+        return updates, EmaState(ema=new_ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(state) -> Any | None:
+    """The EMA param tree carried in ``state.opt_state``, or None if the
+    optimizer was built without ``ema_decay``."""
+    found = []
+
+    def rec(o):
+        if isinstance(o, EmaState):
+            found.append(o.ema)
+        elif isinstance(o, tuple):
+            for i in o:
+                rec(i)
+
+    rec(state.opt_state)
+    return found[0] if found else None
+
+
 def make_optimizer(
     learning_rate: float = 1e-3,
     lr_schedule: str = "constant",
@@ -25,6 +76,7 @@ def make_optimizer(
     total_steps: int | None = None,
     weight_decay: float = 0.0,
     clip_grad_norm: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> optax.GradientTransformation:
     """The canonical optimizer (reference ``torch.optim.Adam(lr)``,
     ``train.py:22-23``). Single factory shared with the pipeline layout
@@ -43,7 +95,10 @@ def make_optimizer(
     after the Adam normalization as in torch.optim.AdamW); ``clip_grad_norm``
     > 0 clips gradients by GLOBAL norm before the Adam moments see them.
     Both are stateless transforms (``EmptyState``), so the PP<->canonical
-    opt_state conversion passes their slots through untouched."""
+    opt_state conversion passes their slots through untouched.
+    ``ema_decay`` > 0 maintains a shadow EMA of the post-step params inside
+    the opt state (:class:`EmaState`; read it back with
+    :func:`ema_params`) — the eval pass uses it when enabled."""
     if lr_schedule == "constant":
         if warmup_steps <= 0:
             lr = learning_rate
@@ -67,9 +122,12 @@ def make_optimizer(
                          "(constant|cosine)")
     base = (optax.adamw(lr, weight_decay=weight_decay) if weight_decay > 0
             else optax.adam(lr))
+    parts = [base]
     if clip_grad_norm > 0:
-        return optax.chain(optax.clip_by_global_norm(clip_grad_norm), base)
-    return base
+        parts.insert(0, optax.clip_by_global_norm(clip_grad_norm))
+    if ema_decay > 0:
+        parts.append(_ema_transform(ema_decay))
+    return optax.chain(*parts) if len(parts) > 1 else base
 
 
 def create_train_state(
@@ -82,10 +140,11 @@ def create_train_state(
     total_steps: int | None = None,
     weight_decay: float = 0.0,
     clip_grad_norm: float = 0.0,
+    ema_decay: float = 0.0,
 ) -> TrainState:
     params = model.init(rng, sample_input)["params"]
     tx = make_optimizer(learning_rate, lr_schedule, warmup_steps, total_steps,
-                        weight_decay, clip_grad_norm)
+                        weight_decay, clip_grad_norm, ema_decay)
     # Stateful B-spline grids (models built with stateful_grid=True) live in
     # the param tree so checkpointing/sharding see them, but they are knot
     # positions, not weights: zero their gradients ahead of Adam — only the

@@ -1,0 +1,93 @@
+"""int8 serving quantization: accuracy of qdot, the trace-time switch, and
+the Predictor surface (kanvit/ops/quant.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kanvit.layers.kan import TorchLinear
+from kanvit.ops import quant
+
+
+def test_qdot_matches_float_dot_closely():
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 384))
+    w = jax.random.normal(jax.random.PRNGKey(1), (768, 384)) * 0.05
+    exact = np.asarray(x @ w.T)
+    q = np.asarray(quant.qdot(x, w))
+    # W8A8 with per-tensor activation scale: error bounded by the two
+    # rounding steps — ~1% of the output dynamic range for gaussian data.
+    scale = np.abs(exact).max()
+    assert np.abs(q - exact).max() < 0.02 * scale
+    # and well-correlated elementwise
+    corr = np.corrcoef(q.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_int8_context_switches_torchlinear():
+    lin = TorchLinear(16, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    params = lin.init(jax.random.PRNGKey(1), x)["params"]
+
+    y_f32 = lin.apply({"params": params}, x)
+
+    with quant.int8_serving():
+        y_q = lin.apply({"params": params}, x)
+    # The quantized path must be the EXACT qdot result...
+    np.testing.assert_array_equal(
+        np.asarray(y_q),
+        np.asarray(quant.qdot(x, params["weight"])
+                   + params["bias"]),
+    )
+    # ...different from (but close to) the float path.
+    assert not np.array_equal(np.asarray(y_q), np.asarray(y_f32))
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_f32),
+                               atol=0.05, rtol=0.1)
+    # Outside the context the float path is restored bit-for-bit.
+    np.testing.assert_array_equal(
+        np.asarray(lin.apply({"params": params}, x)), np.asarray(y_f32)
+    )
+
+
+def test_int8_trace_time_capture_in_jit():
+    """A program jitted (traced) inside the context stays quantized for its
+    lifetime; one traced outside stays float — the contextvar is read at
+    trace time only."""
+    lin = TorchLinear(16, 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16))
+    params = lin.init(jax.random.PRNGKey(1), x)["params"]
+
+    f_float = jax.jit(lambda p, x: lin.apply({"params": p}, x))
+    y_float = np.asarray(f_float(params, x))  # traced outside
+
+    with quant.int8_serving():
+        f_quant = jax.jit(lambda p, x: lin.apply({"params": p}, x))
+        y_quant = np.asarray(f_quant(params, x))  # traced inside
+
+    # Re-invoking after the context closed keeps each program's behavior.
+    assert np.array_equal(np.asarray(f_quant(params, x)), y_quant)
+    assert np.array_equal(np.asarray(f_float(params, x)), y_float)
+    assert not np.array_equal(y_quant, y_float)
+
+
+def test_predictor_int8_end_to_end():
+    from kanvit.infer import Predictor
+    from kanvit.models import create_model
+
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    x = np.random.default_rng(0).normal(size=(32, 1, 28, 28)).astype(
+        np.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+
+    p_f32 = Predictor(model, params, batch_size=16)
+    p_int8 = Predictor(model, params, batch_size=16, quant="int8")
+    lab_f, prob_f = p_f32.predict(x)
+    lab_q, prob_q = p_int8.predict(x)
+    # Logits drift by quantization noise; the decision function must
+    # survive it on all but borderline examples.
+    agree = (lab_f == lab_q).mean()
+    assert agree >= 0.9, f"top-1 agreement {agree}"
+    assert np.abs(prob_f - prob_q).max() < 0.2

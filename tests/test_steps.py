@@ -240,6 +240,84 @@ def test_optimizer_extras_pp_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ema_tracks_post_step_params():
+    """EmaState must hold exactly d*ema + (1-d)*params_after_step at every
+    step (AveragedModel semantics), starting from the init params."""
+    from kanvit.train.state import ema_params
+
+    d = 0.9
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=1,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, 28, 28)), ema_decay=d)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    step = make_train_step(donate=False)
+
+    manual = jax.tree.map(np.asarray, state.params)  # ema starts at init
+    for _ in range(3):
+        state, _, _ = step(state, x, y)
+        manual = jax.tree.map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            manual, state.params,
+        )
+    ema = ema_params(state)
+    assert ema is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-6, atol=1e-8
+        ),
+        ema, manual,
+    )
+    # ...and differs from the live params (it lags them).
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(state.params))
+    )
+    assert moved
+
+
+def test_ema_pp_roundtrip_and_sharding():
+    """The EMA shadow is params-shaped: the PP<->canonical conversion must
+    rewrite it between layouts, and shard_state must give it the param
+    shardings on a mesh."""
+    from kanvit.parallel.mesh import create_mesh, shard_state
+    from kanvit.parallel.pipeline import (
+        canonical_state_to_pp,
+        pp_state_to_canonical,
+    )
+    from kanvit.train.state import ema_params
+
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 1, 28, 28)), ema_decay=0.99)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 1, 28, 28))
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    state, _, _ = make_train_step(donate=False)(state, x, y)
+
+    pp = canonical_state_to_pp(state, model.n_blocks)
+    # In the PP layout the EMA tree must mirror the PP param tree leaf
+    # shapes (stacked blocks), not the canonical ones.
+    for a, b in zip(jax.tree.leaves(ema_params(pp)),
+                    jax.tree.leaves(pp.params)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+    rt = pp_state_to_canonical(pp, model.n_blocks)
+    for a, b in zip(jax.tree.leaves(ema_params(rt)),
+                    jax.tree.leaves(ema_params(state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mesh = create_mesh()
+    sharded = shard_state(state, mesh)
+    for e, p in zip(jax.tree.leaves(ema_params(sharded)),
+                    jax.tree.leaves(sharded.params)):
+        assert e.sharding == p.sharding
+
+
 def test_lr_schedule_pp_roundtrip_preserves_count():
     """PP <-> canonical opt-state conversion must pass the schedule count
     through untouched (it is params-shape independent)."""
