@@ -51,6 +51,9 @@ def main():
                         "of this size (Predictor's microbatch mode)")
     p.add_argument("--quant", default=None, choices=("int8",),
                    help="Predictor int8 W8A8 serving mode")
+    p.add_argument("--calibrate", type=int, default=0,
+                   help="with --quant int8: calibrate static activation "
+                        "scales on this many batches first")
     args = p.parse_args()
 
     import jax
@@ -70,11 +73,14 @@ def main():
     results = []
     for bs in args.batches:
         mb = args.microbatch if args.microbatch else None
-        apply_fn = Predictor(model, params, batch_size=bs,
-                             microbatch=mb, quant=args.quant)._apply
+        pred = Predictor(model, params, batch_size=bs,
+                         microbatch=mb, quant=args.quant)
         x = jax.random.normal(jax.random.PRNGKey(1), (bs, *chw))
         if args.bf16:
             x = x.astype(jnp.bfloat16)
+        if args.quant == "int8" and args.calibrate > 0:
+            pred.calibrate(np.asarray(x, np.float32), args.calibrate)
+        apply_fn = pred._apply
         # warmup / compile
         for _ in range(3):
             y = apply_fn(params, x)
@@ -100,7 +106,8 @@ def main():
             "preset": args.preset,
             "model_type": args.model_type,
             "bf16": args.bf16,
-            "quant": args.quant,
+            "quant": (f"{args.quant}-static" if args.quant and
+                      args.calibrate > 0 else args.quant),
             "batch": bs,
             "microbatch": mb,
             "latency_p50_ms": round(lat_p50, 2),

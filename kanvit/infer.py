@@ -42,18 +42,26 @@ class Predictor:
     # every TorchLinear dot (FF pairs, vanilla/flash projections, the head)
     # runs W8A8 on the int8 MXU (394.7 TOPs vs 197.4 bf16 TFLOPs on v5e;
     # measured 1.26-1.88x at ViT-B shapes, benchmarks/int8_matmul_probe.json).
+    # Call .calibrate(images) first for STATIC activation scales — dynamic
+    # per-call scales LOSE end-to-end (the max-reduce is a serialization
+    # barrier; benchmarks/int8_static_probe.json: FF pair 1.95 ms dynamic
+    # vs 1.29 static vs 1.90 bf16).
     quant: str | None = None
 
     def __post_init__(self):
-        from kanvit.ops import quant as Q
-
         if self.quant not in (None, "int8"):
             raise ValueError(f"unknown quant mode {self.quant!r} (int8)")
+        self._scales = None
+        self._build()
+
+    def _build(self):
+        from kanvit.ops import quant as Q
+
         mb = self.microbatch
 
         def forward(params, x):
             if self.quant == "int8":
-                with Q.int8_serving():  # trace-time switch
+                with Q.int8_serving(self._scales):  # trace-time switch
                     return self.model.apply({"params": params}, x)
             return self.model.apply({"params": params}, x)
 
@@ -65,6 +73,23 @@ class Predictor:
         else:
             apply_fn = forward
         self._apply = jax.jit(apply_fn)
+
+    def calibrate(self, images: np.ndarray, max_batches: int = 2) -> dict:
+        """Capture per-layer activation maxima with EAGER float passes over
+        up to ``max_batches`` batches, pin them as static int8 scales, and
+        re-jit the quantized forward. Returns the scales dict."""
+        from kanvit.ops import quant as Q
+
+        if self.quant != "int8":
+            raise ValueError("calibrate() only applies to quant='int8'")
+        with Q.calibrating() as amax:
+            n = min(len(images), self.batch_size * max_batches)
+            for lo in range(0, n, self.batch_size):
+                chunk = jnp.asarray(images[lo : lo + self.batch_size])
+                self.model.apply({"params": self.params}, chunk)  # eager
+        self._scales = Q.scales_from_amax(amax)
+        self._build()  # re-jit with static scales baked in
+        return self._scales
 
     def logits(self, images: np.ndarray) -> np.ndarray:
         """``(N, C, H, W) -> (N, out_d)`` — tail batch zero-padded so every
@@ -143,7 +168,11 @@ def main(argv=None):
                         "of this size (fwd-optimal ~64 for large presets)")
     p.add_argument("--quant", default=None, choices=("int8",),
                    help="W8A8 int8 serving for the Linear compute path "
-                        "(dynamic activation scales; v5e int8 MXU)")
+                        "(v5e int8 MXU)")
+    p.add_argument("--calibrate", type=int, default=2, metavar="N",
+                   help="with --quant int8: calibrate static activation "
+                        "scales on N batches first (0 = dynamic scales; "
+                        "dynamic is measured SLOWER than bf16)")
     p.add_argument("--out", default=None, help="write predictions npz here")
     args = p.parse_args(argv)
 
@@ -156,6 +185,8 @@ def main(argv=None):
         n_heads=args.n_heads, out_d=num_classes, batch_size=args.batch_size,
         microbatch=args.microbatch, quant=args.quant,
     )
+    if args.quant == "int8" and args.calibrate > 0:
+        pred.calibrate(x, max_batches=args.calibrate)
     labels, probs = pred.predict(x)
     acc, bal, f1, auc = calculate_metrics(y, labels, probs, num_classes)
     print(json.dumps({

@@ -41,11 +41,20 @@ class TorchLinear(nn.Module):
             (self.out_features, self.in_features),
         )
         # int8 serving mode (kanvit.ops.quant): forward-only programs traced
-        # under int8_serving() run this dot W8A8 on the int8 MXU path.
+        # under int8_serving() run this dot W8A8 on the int8 MXU path —
+        # with a calibrated STATIC activation scale when one exists for
+        # this layer (quant.calibrating() captures amax during eager float
+        # passes), else a dynamic per-call scale.
         from kanvit.ops import quant
 
         if quant.int8_enabled() and not self.is_initializing():
-            y = quant.qdot(x, w)
+            path = "/".join(str(p) for p in self.scope.path)
+            y = quant.qdot(x, w, static_scale=quant.static_scale_for(path))
+        elif not self.is_initializing() and quant._CALIBRATE.get() is not None:
+            quant.record_amax(
+                "/".join(str(p) for p in self.scope.path), x
+            )
+            y = x @ w.T
         else:
             y = x @ w.T
         if self.use_bias:

@@ -32,6 +32,15 @@ import jax.numpy as jnp
 from jax import lax
 
 _INT8_SERVING = contextvars.ContextVar("kanvit_int8_serving", default=False)
+# Per-layer STATIC activation scales {scope-path: float} captured by
+# calibration. A layer found here skips the per-call max-reduce — measured
+# the difference between losing and winning: the ViT-B FF pair runs 1.90 ms
+# bf16 / 1.95 dynamic / 1.29 STATIC (benchmarks/int8_static_probe.json);
+# the dynamic max pass is a serialization barrier + an extra HBM read.
+_STATIC_SCALES = contextvars.ContextVar("kanvit_int8_scales", default=None)
+# Calibration capture: {scope-path: running max |activation|}, filled by
+# TorchLinear during EAGER (unjitted) float passes.
+_CALIBRATE = contextvars.ContextVar("kanvit_int8_calibrate", default=None)
 
 
 def int8_enabled() -> bool:
@@ -39,15 +48,57 @@ def int8_enabled() -> bool:
     return _INT8_SERVING.get()
 
 
+def static_scale_for(path: str):
+    """The calibrated activation scale for a layer (None = dynamic)."""
+    scales = _STATIC_SCALES.get()
+    return None if scales is None else scales.get(path)
+
+
 @contextlib.contextmanager
-def int8_serving():
+def int8_serving(scales: dict | None = None):
     """Trace-time switch: TorchLinear dots traced inside this context run
-    as int8 MXU dots (W8A8, dynamic activation scales)."""
+    as int8 MXU dots (W8A8). ``scales`` (from :func:`calibrating`) pins
+    per-layer STATIC activation scales; layers not present fall back to
+    dynamic per-call scales."""
     tok = _INT8_SERVING.set(True)
+    tok2 = _STATIC_SCALES.set(scales)
     try:
         yield
     finally:
         _INT8_SERVING.reset(tok)
+        _STATIC_SCALES.reset(tok2)
+
+
+@contextlib.contextmanager
+def calibrating():
+    """Collect per-layer activation maxima during eager float forward
+    passes. Yields a dict {scope-path: amax}; convert to scales with
+    :func:`scales_from_amax` and pass to :func:`int8_serving`."""
+    amax: dict = {}
+    tok = _CALIBRATE.set(amax)
+    try:
+        yield amax
+    finally:
+        _CALIBRATE.reset(tok)
+
+
+def record_amax(path: str, x) -> None:
+    """Called by TorchLinear while :func:`calibrating` is active (eager
+    passes only — under a tracer the value is not concrete and is skipped)."""
+    amax = _CALIBRATE.get()
+    if amax is None:
+        return
+    import jax.core as _core
+
+    if isinstance(x, _core.Tracer):  # jitted pass: nothing concrete to read
+        return
+    v = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+    amax[path] = max(amax.get(path, 0.0), v)
+
+
+def scales_from_amax(amax: dict) -> dict:
+    """Per-layer symmetric int8 activation scales from calibration maxima."""
+    return {k: max(v, 1e-12) / 127.0 for k, v in amax.items()}
 
 
 def _quantize(a, axis, eps=1e-12):
@@ -60,15 +111,24 @@ def _quantize(a, axis, eps=1e-12):
     return q, scale
 
 
-def qdot(x, w):
-    """``x @ w.T`` with both operands dynamically quantized to int8 and the
-    contraction done as an int8xint8->int32 MXU dot.
+def qdot(x, w, static_scale: float | None = None):
+    """``x @ w.T`` with both operands quantized to int8 and the contraction
+    done as an int8xint8->int32 MXU dot.
 
-    ``x``: ``(..., in)`` activations (quantized per tensor, scale computed
-    in-program each call). ``w``: ``(out, in)`` torch-convention weights
-    (quantized per output channel). Result is f32: ``(xq @ wq.T) * sx * sw``.
-    """
-    xq, sx = _quantize(x, axis=None)
+    ``x``: ``(..., in)`` activations — quantized per tensor with a dynamic
+    in-program scale, or with ``static_scale`` (a trace-time constant from
+    calibration: no max pass, no serialization barrier — the measured
+    difference between losing to bf16 and beating it by 1.47x,
+    ``benchmarks/int8_static_probe.json``). ``w``: ``(out, in)``
+    torch-convention weights (quantized per output channel). Result is
+    f32: ``(xq @ wq.T) * sx * sw``."""
+    if static_scale is not None:
+        sx = jnp.float32(static_scale)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / sx), -127, 127
+        ).astype(jnp.int8)
+    else:
+        xq, sx = _quantize(x, axis=None)
     wq, sw = _quantize(w, axis=-1)  # (out, 1) per-channel
     nb = xq.ndim
     y = lax.dot_general(

@@ -91,3 +91,35 @@ def test_predictor_int8_end_to_end():
     agree = (lab_f == lab_q).mean()
     assert agree >= 0.9, f"top-1 agreement {agree}"
     assert np.abs(prob_f - prob_q).max() < 0.2
+
+
+def test_calibrated_static_scales_end_to_end():
+    """calibrate() captures one amax per TorchLinear scope, the re-jitted
+    forward uses static scales (no dynamic max in the program), and the
+    predictions stay accurate."""
+    from kanvit.infer import Predictor
+    from kanvit.models import create_model
+
+    model = create_model(
+        "vanilla", chw=(1, 28, 28), n_patches=7, n_blocks=2,
+        d_hidden=32, n_heads=4, out_d=10,
+    )
+    x = np.random.default_rng(0).normal(size=(32, 1, 28, 28)).astype(
+        np.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))["params"]
+
+    p_f32 = Predictor(model, params, batch_size=16)
+    p_q = Predictor(model, params, batch_size=16, quant="int8")
+    scales = p_q.calibrate(x, max_batches=1)
+    # One scale per TorchLinear call site: mapper, 2 blocks x (q/k/v heads
+    # vmapped as single scopes + 2 FF linears), head linear.
+    assert len(scales) >= 6
+    assert all(s > 0 for s in scales.values())
+    assert any("ff_0" in k for k in scales)
+
+    lab_f, prob_f = p_f32.predict(x)
+    lab_q, prob_q = p_q.predict(x)
+    agree = (lab_f == lab_q).mean()
+    assert agree >= 0.9, f"top-1 agreement {agree} with static scales"
+    assert np.abs(prob_f - prob_q).max() < 0.2
