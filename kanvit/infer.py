@@ -75,18 +75,33 @@ class Predictor:
         self._apply = jax.jit(apply_fn)
 
     def calibrate(self, images: np.ndarray, max_batches: int = 2) -> dict:
-        """Capture per-layer activation maxima with EAGER float passes over
-        up to ``max_batches`` batches, pin them as static int8 scales, and
-        re-jit the quantized forward. Returns the scales dict."""
+        """Capture per-layer activation maxima with jit-compiled float
+        passes over up to ``max_batches`` batches (sown into the
+        ``quant_amax`` mutable collection — one compiled program, so
+        calibration costs one forward per batch even on tunneled
+        transports), pin them as static int8 scales, and re-jit the
+        quantized forward. Returns the scales dict."""
         from kanvit.ops import quant as Q
 
         if self.quant != "int8":
             raise ValueError("calibrate() only applies to quant='int8'")
-        with Q.calibrating() as amax:
+        with Q.calibrating():  # trace-time flag
+            fn = jax.jit(lambda p, c: self.model.apply(
+                {"params": p}, c, mutable=["quant_amax"]
+            ))
+            amax: dict = {}
             n = min(len(images), self.batch_size * max_batches)
             for lo in range(0, n, self.batch_size):
-                chunk = jnp.asarray(images[lo : lo + self.batch_size])
-                self.model.apply({"params": self.params}, chunk)  # eager
+                chunk = images[lo : lo + self.batch_size]
+                pad = self.batch_size - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, *chunk.shape[1:]),
+                                         chunk.dtype)]
+                    )
+                _, mut = fn(self.params, jnp.asarray(chunk))
+                for k, v in Q.amax_from_mutable(jax.device_get(mut)).items():
+                    amax[k] = max(amax.get(k, 0.0), v)
         self._scales = Q.scales_from_amax(amax)
         self._build()  # re-jit with static scales baked in
         return self._scales

@@ -418,7 +418,8 @@ class MSA(nn.Module):
                 cls,
                 in_axes=0,
                 out_axes=0,
-                variable_axes={"params": 0, "kan_inputs": 0},
+                variable_axes={"params": 0, "kan_inputs": 0,
+                               "quant_amax": 0},
                 split_rngs={"params": True},
                 axis_size=self.n_heads,
             )

@@ -50,12 +50,12 @@ class TorchLinear(nn.Module):
         if quant.int8_enabled() and not self.is_initializing():
             path = "/".join(str(p) for p in self.scope.path)
             y = quant.qdot(x, w, static_scale=quant.static_scale_for(path))
-        elif not self.is_initializing() and quant._CALIBRATE.get() is not None:
-            quant.record_amax(
-                "/".join(str(p) for p in self.scope.path), x
-            )
-            y = x @ w.T
         else:
+            if quant.calibrate_enabled() and not self.is_initializing():
+                # jit-compatible amax capture into a mutable collection;
+                # reduced host-side by quant.amax_from_mutable.
+                self.sow("quant_amax", "amax",
+                         jnp.max(jnp.abs(x.astype(jnp.float32))))
             y = x @ w.T
         if self.use_bias:
             b = self.param(

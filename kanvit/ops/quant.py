@@ -38,9 +38,11 @@ _INT8_SERVING = contextvars.ContextVar("kanvit_int8_serving", default=False)
 # bf16 / 1.95 dynamic / 1.29 STATIC (benchmarks/int8_static_probe.json);
 # the dynamic max pass is a serialization barrier + an extra HBM read.
 _STATIC_SCALES = contextvars.ContextVar("kanvit_int8_scales", default=None)
-# Calibration capture: {scope-path: running max |activation|}, filled by
-# TorchLinear during EAGER (unjitted) float passes.
-_CALIBRATE = contextvars.ContextVar("kanvit_int8_calibrate", default=None)
+# Calibration mode: while tracing under calibrating(), TorchLinear sows
+# its input |max| into the "quant_amax" mutable collection — jit-compatible
+# (an eager capture was measured impractically slow on the tunneled TPU
+# transport: every concrete read round-trips the tunnel).
+_CALIB_MODE = contextvars.ContextVar("kanvit_int8_calibrate", default=False)
 
 
 def int8_enabled() -> bool:
@@ -71,29 +73,38 @@ def int8_serving(scales: dict | None = None):
 
 @contextlib.contextmanager
 def calibrating():
-    """Collect per-layer activation maxima during eager float forward
-    passes. Yields a dict {scope-path: amax}; convert to scales with
-    :func:`scales_from_amax` and pass to :func:`int8_serving`."""
-    amax: dict = {}
-    tok = _CALIBRATE.set(amax)
+    """Trace-time switch: float forward passes traced inside this context
+    sow every TorchLinear input's |max| into the ``quant_amax`` mutable
+    collection. Run with ``model.apply(..., mutable=["quant_amax"])``
+    (jittable), then reduce with :func:`amax_from_mutable` and convert via
+    :func:`scales_from_amax`."""
+    tok = _CALIB_MODE.set(True)
     try:
-        yield amax
+        yield
     finally:
-        _CALIBRATE.reset(tok)
+        _CALIB_MODE.reset(tok)
 
 
-def record_amax(path: str, x) -> None:
-    """Called by TorchLinear while :func:`calibrating` is active (eager
-    passes only — under a tracer the value is not concrete and is skipped)."""
-    amax = _CALIBRATE.get()
-    if amax is None:
-        return
-    import jax.core as _core
+def calibrate_enabled() -> bool:
+    """True while tracing under :func:`calibrating`."""
+    return _CALIB_MODE.get()
 
-    if isinstance(x, _core.Tracer):  # jitted pass: nothing concrete to read
-        return
-    v = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
-    amax[path] = max(amax.get(path, 0.0), v)
+
+def amax_from_mutable(mut: dict) -> dict:
+    """Flatten a ``{"quant_amax": tree}`` mutable-collection result into
+    ``{scope-path: float amax}`` — the keys match ``TorchLinear``'s
+    serving-time scope-path lookups (sow appends an ``amax`` leaf and a
+    tuple index; per-head vmapped layers sow an ``(n_heads,)`` vector,
+    reduced here to one shared scale)."""
+    import jax
+
+    out: dict = {}
+    for path, v in jax.tree_util.tree_leaves_with_path(mut["quant_amax"]):
+        parts = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        key = "/".join(p for p in parts if p != "amax" and not p.isdigit())
+        val = float(jnp.max(jnp.asarray(v)))
+        out[key] = max(out.get(key, 0.0), val)
+    return out
 
 
 def scales_from_amax(amax: dict) -> dict:
