@@ -40,14 +40,32 @@ class TorchLinear(nn.Module):
             tinit.linear_default_weight(),
             (self.out_features, self.in_features),
         )
+        b = (
+            self.param(
+                "bias",
+                tinit.linear_default_bias(self.in_features),
+                (self.out_features,),
+            )
+            if self.use_bias
+            else None
+        )
         # int8 serving mode (kanvit.ops.quant): forward-only programs traced
         # under int8_serving() run this dot W8A8 on the int8 MXU path —
-        # with a calibrated STATIC activation scale when one exists for
-        # this layer (quant.calibrating() captures amax during eager float
-        # passes), else a dynamic per-call scale.
+        # the XLA qdot with a calibrated STATIC activation scale when one
+        # exists for this layer (quant.calibrating() captures amax during
+        # eager float passes), else a dynamic per-call scale. The fused
+        # Pallas kernel (kanvit.kernels.int8_matmul: per-row quantization
+        # in-register, bias in the epilogue) measured NEGATIVE — Mosaic's
+        # int8 dot rate trails XLA's — and is opt-in (KANVIT_INT8_KERNEL=1
+        # or forced-pallas dispatch).
         from kanvit.ops import quant
 
         if quant.int8_enabled() and not self.is_initializing():
+            from kanvit.kernels.int8_matmul import int8_linear
+
+            y = int8_linear(x, w, bias=b)
+            if y is not None:
+                return y
             path = "/".join(str(p) for p in self.scope.path)
             y = quant.qdot(x, w, static_scale=quant.static_scale_for(path))
         else:
@@ -57,10 +75,7 @@ class TorchLinear(nn.Module):
                 self.sow("quant_amax", "amax",
                          jnp.max(jnp.abs(x.astype(jnp.float32))))
             y = x @ w.T
-        if self.use_bias:
-            b = self.param(
-                "bias", tinit.linear_default_bias(self.in_features), (self.out_features,)
-            )
+        if b is not None:
             y = y + b
         return y
 

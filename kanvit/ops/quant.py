@@ -122,6 +122,31 @@ def _quantize(a, axis, eps=1e-12):
     return q, scale
 
 
+def qdot_rowwise(x, w, bias=None):
+    """``x @ w.T (+ bias)`` with PER-ROW (token) dynamic activation scales
+    and per-output-channel weight scales — the jnp ground truth for the
+    fused Pallas kernel (``kanvit.kernels.int8_matmul``).
+
+    Per-row scales need only a row-local max (no cross-batch reduction),
+    so a kernel with the contraction dim resident computes them in-register
+    — no calibration pass, no serialization barrier, and strictly finer
+    quantization granularity than the per-tensor scale :func:`qdot` uses.
+    Result: ``(xq @ wq.T) * sx[:, None] * sw[None, :] + bias`` in f32.
+    """
+    k = x.shape[-1]
+    x2 = x.reshape(-1, k)
+    xq, sx = _quantize(x2, axis=-1)  # (n, k) int8, (n, 1) f32
+    wq, sw = _quantize(w, axis=-1)   # (out, k) int8, (out, 1) f32
+    y = lax.dot_general(
+        xq, wq,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sx * sw.reshape(1, -1)
+    if bias is not None:
+        y = y + bias.reshape(1, -1).astype(jnp.float32)
+    return y.reshape(*x.shape[:-1], w.shape[0])
+
+
 def qdot(x, w, static_scale: float | None = None):
     """``x @ w.T`` with both operands quantized to int8 and the contraction
     done as an int8xint8->int32 MXU dot.
