@@ -5,7 +5,16 @@ adds one as part of being a complete framework: load a checkpoint, classify
 in fixed-size jitted batches (ragged tails padded, never recompiled), return
 logits / probabilities / labels.
 
+Serving deployment: :meth:`Predictor.export` serializes the compiled
+forward — weights baked in as constants — to a portable ``jax.export``
+StableHLO artifact; :func:`load_exported` serves from that single file with
+no model code, checkpoint, or kanvit config needed (and no Python re-trace:
+the artifact IS the program). Pallas kernels ride along as
+``tpu_custom_call``, which is on jax.export's guaranteed-stable custom-call
+list.
+
 CLI: ``python -m kanvit.infer --model-type X --ckpt-dir ckpts --dataset mnist``
+     ``python -m kanvit.infer --exported model.kanvit --dataset mnist``
 """
 
 from __future__ import annotations
@@ -129,6 +138,90 @@ class Predictor:
         probs = np.exp(z) / np.exp(z).sum(-1, keepdims=True)
         return probs.argmax(-1), probs
 
+    def export(self, path: str) -> dict:
+        """AOT-export the serving program to ``path`` (StableHLO via
+        ``jax.export``), weights baked in as constants, plus a ``.json``
+        metadata sidecar. The artifact is self-contained: serve it with
+        :func:`load_exported` (or raw ``jax.export.deserialize``) with no
+        model code or checkpoint.
+
+        Lowered for the CURRENT backend only: kernel dispatch
+        (``kanvit.ops.dispatch``) decides Pallas-vs-jnp at trace time from
+        ``jax.default_backend()``, so a cross-platform artifact would bake
+        the exporting host's tier choices. Export on (or for) the machine
+        class you serve on. An int8-calibrated Predictor exports the
+        quantized program (the trace-time switch fires during export
+        tracing exactly as it does under jit).
+        """
+        import json as _json
+
+        from jax import export as jexport
+
+        chw = tuple(self.model.chw)
+        spec = jax.ShapeDtypeStruct((self.batch_size, *chw), jnp.float32)
+        # Close over params: jax.export records closed-over arrays as
+        # module constants — the weights ship inside the artifact.
+        served = jax.jit(lambda x: self._apply(self.params, x))
+        exported = jexport.export(served)(spec)
+        blob = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        meta = {
+            "format": "jax.export serialized Exported (StableHLO)",
+            "model_type": getattr(self.model, "type", "flash-attn"),
+            "input_shape": [self.batch_size, *chw],
+            "out_d": int(self.model.out_d),
+            "quant": self.quant,
+            "microbatch": self.microbatch,
+            "platforms": list(exported.platforms),
+            "calling_convention_version":
+                exported.calling_convention_version,
+            "bytes": len(blob),
+        }
+        with open(path + ".json", "w") as f:
+            _json.dump(meta, f, indent=2)
+        return meta
+
+
+class ExportedPredictor:
+    """Serve from a ``Predictor.export`` artifact: same ``logits`` /
+    ``predict`` surface, no model code, params, or re-trace — the program
+    (with its baked-in weights and any int8 calibration) is deserialized
+    straight from StableHLO and jit-invoked at its fixed batch shape,
+    ragged tails padded exactly like :class:`Predictor`."""
+
+    def __init__(self, exported):
+        self._exported = exported
+        in_aval = exported.in_avals[0]
+        self.batch_size = int(in_aval.shape[0])
+        self._in_shape = tuple(in_aval.shape)
+        self._call = jax.jit(exported.call)
+
+    def logits(self, images: np.ndarray) -> np.ndarray:
+        n = images.shape[0]
+        out = []
+        for lo in range(0, n, self.batch_size):
+            chunk = images[lo : lo + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, *chunk.shape[1:]), chunk.dtype)]
+                )
+            y = self._call(jnp.asarray(chunk, jnp.float32))
+            out.append(np.asarray(y[: self.batch_size - pad]))
+        return np.concatenate(out) if out else np.zeros((0,))
+
+    predict = Predictor.predict
+
+
+def load_exported(path: str) -> ExportedPredictor:
+    """Load a ``Predictor.export`` artifact for serving."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        blob = f.read()
+    return ExportedPredictor(jexport.deserialize(blob))
+
 
 def load_predictor(
     model_type: str,
@@ -170,7 +263,8 @@ def main(argv=None):
 
     p = argparse.ArgumentParser(description="kanvit inference")
     p.add_argument("--model-type", default="vanilla")
-    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint directory (omit with --exported)")
     p.add_argument("--dataset", default="mnist",
                    choices=("mnist", "cifar100", "digits", "synthetic"))
     p.add_argument("--data-dir", default=None)
@@ -188,20 +282,36 @@ def main(argv=None):
                    help="with --quant int8: calibrate static activation "
                         "scales on N batches first (0 = dynamic scales; "
                         "dynamic is measured SLOWER than bf16)")
+    p.add_argument("--export", default=None, metavar="PATH",
+                   help="AOT-export the serving program (weights baked in) "
+                        "to PATH after loading/calibrating, then exit")
+    p.add_argument("--exported", default=None, metavar="PATH",
+                   help="serve from a --export artifact instead of a "
+                        "checkpoint (no model config needed)")
     p.add_argument("--out", default=None, help="write predictions npz here")
     args = p.parse_args(argv)
 
     x, y, num_classes = load_dataset(args.dataset, args.data_dir, train=False)
-    mcfg = _dataset_model_config(args.dataset)
-    pred = load_predictor(
-        args.model_type, args.ckpt_dir,
-        chw=tuple(x.shape[1:]), n_patches=mcfg["n_patches"],
-        n_blocks=args.n_blocks, d_hidden=args.d_hidden,
-        n_heads=args.n_heads, out_d=num_classes, batch_size=args.batch_size,
-        microbatch=args.microbatch, quant=args.quant,
-    )
-    if args.quant == "int8" and args.calibrate > 0:
-        pred.calibrate(x, max_batches=args.calibrate)
+    if args.exported:
+        pred = load_exported(args.exported)
+    else:
+        if not args.ckpt_dir:
+            p.error("--ckpt-dir is required unless serving --exported")
+        mcfg = _dataset_model_config(args.dataset)
+        pred = load_predictor(
+            args.model_type, args.ckpt_dir,
+            chw=tuple(x.shape[1:]), n_patches=mcfg["n_patches"],
+            n_blocks=args.n_blocks, d_hidden=args.d_hidden,
+            n_heads=args.n_heads, out_d=num_classes,
+            batch_size=args.batch_size,
+            microbatch=args.microbatch, quant=args.quant,
+        )
+        if args.quant == "int8" and args.calibrate > 0:
+            pred.calibrate(x, max_batches=args.calibrate)
+        if args.export:
+            meta = pred.export(args.export)
+            print(json.dumps({"exported": args.export, **meta}))
+            return
     labels, probs = pred.predict(x)
     acc, bal, f1, auc = calculate_metrics(y, labels, probs, num_classes)
     print(json.dumps({
