@@ -112,6 +112,12 @@ def make_optimizer(
         if not total_steps:
             raise ValueError("--lr-schedule cosine needs a known total step "
                              "count (epochs x steps/epoch)")
+        if warmup_steps >= total_steps:
+            raise ValueError(
+                f"--warmup-steps ({warmup_steps}) must be < the total step "
+                f"count ({total_steps}) under --lr-schedule cosine — there "
+                "would be no decay phase left"
+            )
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=learning_rate,
             warmup_steps=max(0, warmup_steps),

@@ -148,6 +148,18 @@ def test_lr_schedule_warmup_and_cosine():
     assert moved, "params did not move once the warmup LR became nonzero"
 
 
+def test_cosine_rejects_warmup_swallowing_total():
+    """warmup >= total_steps leaves no decay phase: a clear ValueError at
+    construction beats optax's opaque decay_steps=0 failure."""
+    import pytest
+
+    from kanvit.train.state import make_optimizer
+
+    with pytest.raises(ValueError, match="warmup"):
+        make_optimizer(1e-3, lr_schedule="cosine", warmup_steps=10,
+                       total_steps=10)
+
+
 def test_clip_grad_norm_semantics():
     """make_optimizer(clip_grad_norm=c) must clip by GLOBAL norm BEFORE the
     Adam moments: its first update on gradients g with ||g|| > c equals plain
